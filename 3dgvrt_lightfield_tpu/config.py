@@ -1,0 +1,91 @@
+"""Single-source configuration for the TPU Gaussian ray tracer.
+
+The reference scatters its configuration across three hand-mirrored tiers
+(`base/Define.h`, `shaders/glsl/base/3dgs.glsl:8-25`, and UBO constants in
+`base/VulkanUtils.h:50-61`).  Here every algorithm constant lives in one frozen,
+hashable dataclass that is passed as a static argument into jitted render
+functions, so host code and kernels can never disagree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Spherical-harmonics basis constants (reference: shaders/glsl/base/3dgs.glsl:34-49).
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+SH_C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+
+#: Number of SH coefficients for degree 3 (reference: 3dgs.glsl:19).
+SH_MAX_NUM_COEFFS = 16
+#: f_rest dimension in INRIA PLY files: 15 coeffs x 3 channels (Define.h:133).
+SPECULAR_DIMENSION = 45
+
+INVALID_PARTICLE_ID = 0xFFFFFFFF
+INFINITE_DISTANCE = 1e20
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All algorithm constants of the renderer.
+
+    Field provenance (file:line in /root/reference):
+      - kernel_degree:        shaders/glsl/base/3dgs.glsl:22 (PARTICLE_KERNEL_DEGREE=4)
+      - sh_degree:            3dgs.glsl:18 (MAX_SPH_DEGREE=3); runtime sphEvalDegree
+                              in base/VulkanUtils.h:56
+      - max_hits_per_trace:   3dgs.glsl:15 (MAX_HIT_PER_TRACE=16)
+      - alpha_min:            3dgs.glsl:16 (ALPHA_MIN_THRESHOLD=1/255)
+      - max_alpha:            gaussianfunctions.glsl:198 (min(0.99, ...))
+      - min_transmittance:    VulkanUtils.h:54 (0.001)
+      - hit_min_response:     VulkanUtils.h:55 (0.0113)
+      - kernel_min_response:  projects/VulkanFullRT/VulkanFullRT.cpp:1353 (0.0113)
+      - eps_t:                3dgs.glsl:13 (EPS_T=1e-9)
+      - aabb:                 VulkanUtils.h:53 (+-100 scene AABB)
+      - near/far:             base/Define.h:34-35 (NEAR_PLANE/FAR_PLANE)
+      - adaptive_kernel_clamping: VulkanFullRT.cpp:1354 (MOGRenderNone default)
+    """
+
+    kernel_degree: int = 4
+    sh_degree: int = 3
+    max_hits_per_trace: int = 16
+    alpha_min: float = 1.0 / 255.0
+    max_alpha: float = 0.99
+    min_transmittance: float = 1e-3
+    hit_min_response: float = 0.0113
+    kernel_min_response: float = 0.0113
+    eps_t: float = 1e-9
+    aabb: Tuple[float, float, float, float, float, float] = (
+        -100.0, -100.0, -100.0, 100.0, 100.0, 100.0)
+    near: float = 0.005
+    far: float = 20.0
+    adaptive_kernel_clamping: bool = False
+
+    # ---- TPU execution parameters (no reference equivalent: new design) ----
+    #: Pixels per side of an image tile for the binning + fused-forward path.
+    tile_size: int = 16
+    #: Gaussians processed per VMEM chunk inside the fused kernel.
+    chunk_size: int = 256
+    #: Ray-chunk size for the brute-force (validation) renderer.
+    ray_chunk: int = 4096
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,146 @@
+"""GaussianModel: the trainable 3D Gaussian scene representation.
+
+Holds raw (pre-activation) parameters exactly as stored in INRIA PLY files
+(base/Vulkan3DGRTModel.cpp:7-125) and exposes activated views:
+scale = exp(scale_log), density = sigmoid(opacity_logit)
+(particlePrimitives.comp:149-151), unit WXYZ quaternions, and the (N, 16, 3)
+SH coefficient stack [f_dc, f_rest] consumed by radiance evaluation
+(gaussianfunctions.glsl:104-115).
+
+Registered as a JAX pytree, so it can be passed through jit/grad/shard_map and
+used directly as the optimizer parameter tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.ply import SplatSet
+from ..ops.kernels import scale_activation, sigmoid
+from ..ops.quaternion import normalize_quat, quat_to_rotmat
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GaussianModel:
+    means: jnp.ndarray          # (N, 3)
+    scales_log: jnp.ndarray     # (N, 3) pre-activation
+    quats: jnp.ndarray          # (N, 4) WXYZ, unnormalized
+    opacity_logit: jnp.ndarray  # (N,)
+    sh_dc: jnp.ndarray          # (N, 3)
+    sh_rest: jnp.ndarray        # (N, 15, 3)
+
+    @property
+    def num_gaussians(self) -> int:
+        return self.means.shape[0]
+
+    # ---- constructors -------------------------------------------------
+    @classmethod
+    def from_splats(cls, splats: SplatSet, dtype=jnp.float32) -> "GaussianModel":
+        return cls(
+            means=jnp.asarray(splats.positions, dtype),
+            scales_log=jnp.asarray(splats.scale, dtype),
+            quats=jnp.asarray(splats.rotation, dtype),
+            opacity_logit=jnp.asarray(splats.opacity, dtype),
+            sh_dc=jnp.asarray(splats.f_dc, dtype),
+            sh_rest=jnp.asarray(splats.f_rest, dtype),
+        )
+
+    @classmethod
+    def from_ply(cls, path: str, dtype=jnp.float32) -> "GaussianModel":
+        from ..io.ply import load_splats
+        return cls.from_splats(load_splats(path), dtype)
+
+    def to_splats(self) -> SplatSet:
+        return SplatSet(
+            positions=np.asarray(self.means, np.float32),
+            scale=np.asarray(self.scales_log, np.float32),
+            rotation=np.asarray(self.quats, np.float32),
+            opacity=np.asarray(self.opacity_logit, np.float32),
+            f_dc=np.asarray(self.sh_dc, np.float32),
+            f_rest=np.asarray(self.sh_rest, np.float32),
+        )
+
+    def to_ply(self, path: str) -> None:
+        from ..io.ply import save_splats
+        save_splats(path, self.to_splats())
+
+    # ---- activated views ----------------------------------------------
+    def activate(self) -> "ActivatedGaussians":
+        q = normalize_quat(self.quats)
+        rot = quat_to_rotmat(q)
+        scales = scale_activation(self.scales_log)
+        return ActivatedGaussians(
+            means=self.means,
+            scales=scales,
+            inv_scales=1.0 / scales,
+            rotmats=rot,
+            densities=sigmoid(self.opacity_logit),
+            sh_coeffs=jnp.concatenate([self.sh_dc[:, None, :], self.sh_rest], axis=1),
+        )
+
+    # ---- filtering ----------------------------------------------------
+    def abnormal_mask(self) -> jnp.ndarray:
+        """Mask of particles the reference's enclosing pass drops.
+
+        particlePrimitives.comp:120-140: drop if |albedo| > 3, or if the
+        ratio of the total cumulative specular-norm sum to its first partial
+        sum exceeds 150.  (The reference's loop strides 3*i over a 45-float
+        channel-major buffer — reading across particle boundaries for i >= 15;
+        we evaluate the evident intent on the per-particle coefficient-major
+        (15, 3) block instead, keeping indices in-bounds and deterministic.)
+
+        Returns True for particles to KEEP.
+        """
+        albedo_strength = jnp.linalg.norm(self.sh_dc, axis=-1)
+        coeff_norms = jnp.linalg.norm(self.sh_rest[:, 1:, :], axis=-1)  # (N, 14)
+        partial = jnp.cumsum(coeff_norms, axis=-1)
+        ratio = partial[:, -1] / (partial[:, 0] + 1e-5)
+        return (albedo_strength <= 3.0) & (ratio <= 150.0)
+
+    def filtered(self) -> "GaussianModel":
+        """Deterministic keep-order compaction of non-abnormal particles.
+
+        Replaces the reference's atomicAdd compaction
+        (particlePrimitives.comp:142), which reorders nondeterministically and
+        whose count is never read back (SURVEY.md 2.4b).
+        """
+        keep = np.asarray(self.abnormal_mask())
+        idx = np.nonzero(keep)[0]
+        return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), self)
+
+    def scene_aabb(self):
+        """(min, max) corners over Gaussian centers (VulkanFullRT.cpp:1527-1545)."""
+        lo = jnp.min(self.means, axis=0)
+        hi = jnp.max(self.means, axis=0)
+        return lo, hi
+
+
+class ActivatedGaussians(NamedTuple):
+    """Activated per-Gaussian quantities fed to the renderer."""
+    means: jnp.ndarray       # (N, 3)
+    scales: jnp.ndarray      # (N, 3)
+    inv_scales: jnp.ndarray  # (N, 3)
+    rotmats: jnp.ndarray     # (N, 3, 3) local->world
+    densities: jnp.ndarray   # (N,)
+    sh_coeffs: jnp.ndarray   # (N, 16, 3)
+
+
+def random_gaussians(key, n: int, extent: float = 1.0,
+                     scale_range=(-4.5, -2.5)) -> GaussianModel:
+    """Synthetic scene generator for tests/benchmarks (BASELINE config 0)."""
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    return GaussianModel(
+        means=jax.random.uniform(k1, (n, 3), minval=-extent, maxval=extent),
+        scales_log=jax.random.uniform(k2, (n, 3), minval=scale_range[0],
+                                      maxval=scale_range[1]),
+        quats=jax.random.normal(k3, (n, 4)) + jnp.array([2.0, 0, 0, 0]),
+        opacity_logit=jax.random.uniform(k4, (n,), minval=-2.0, maxval=3.0),
+        sh_dc=jax.random.uniform(k5, (n, 3), minval=-1.0, maxval=1.0),
+        sh_rest=0.05 * jax.random.normal(k6, (n, 15, 3)),
+    )

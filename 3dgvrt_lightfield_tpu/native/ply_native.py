@@ -1,0 +1,89 @@
+"""ctypes binding for the native C++ PLY parser (native/ply_native.cpp).
+
+The reference links miniply (external/miniply, compiled into its base lib) for
+PLY parsing; this is the TPU repo's native-equivalent data loader.  Falls back
+cleanly when the shared library has not been built — `io.ply` then uses the
+NumPy parser.  Build with: ``python -m 3dgvrt_lightfield_tpu.native.build``
+(or let tests/bench build it lazily).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+_LIB_NAME = "libply_native.so"
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = os.path.join(_HERE, _LIB_NAME)
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.ply_open.restype = ctypes.c_void_p
+    lib.ply_open.argtypes = [ctypes.c_char_p]
+    lib.ply_num_rows.restype = ctypes.c_int64
+    lib.ply_num_rows.argtypes = [ctypes.c_void_p]
+    lib.ply_num_props.restype = ctypes.c_int32
+    lib.ply_num_props.argtypes = [ctypes.c_void_p]
+    lib.ply_prop_name.restype = ctypes.c_char_p
+    lib.ply_prop_name.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.ply_extract.restype = ctypes.c_int32
+    lib.ply_extract.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                ctypes.POINTER(ctypes.c_float)]
+    lib.ply_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build(verbose: bool = False) -> bool:
+    """Compile native/ply_native.cpp with g++ -O3 into libply_native.so."""
+    import subprocess
+    src = os.path.join(_HERE, "ply_native.cpp")
+    out = os.path.join(_HERE, _LIB_NAME)
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           src, "-o", out]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if verbose and res.returncode != 0:
+            print(res.stderr)
+        return res.returncode == 0
+    except Exception:
+        return False
+
+
+def read_ply_arrays(path: str) -> Dict[str, np.ndarray]:
+    """Read the first vertex element's float properties via the C++ parser."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native PLY library not built")
+    handle = lib.ply_open(path.encode())
+    if not handle:
+        raise IOError(f"native PLY parser failed to open {path}")
+    try:
+        n = lib.ply_num_rows(handle)
+        nprops = lib.ply_num_props(handle)
+        out: Dict[str, np.ndarray] = {}
+        for i in range(nprops):
+            name = lib.ply_prop_name(handle, i).decode()
+            arr = np.empty(n, dtype=np.float32)
+            ok = lib.ply_extract(handle, i,
+                                 arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if ok != 0:
+                raise IOError(f"native PLY extract failed for {name}")
+            out[name] = arr
+        return out
+    finally:
+        lib.ply_close(handle)
