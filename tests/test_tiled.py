@@ -1,0 +1,130 @@
+"""Tiled renderer: binning invariants + scan/Pallas/brute-force consistency."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import gvrt_tpu as g3
+from gvrt_tpu.render import binning
+from gvrt_tpu.render.reference import render_image
+from gvrt_tpu.render.tiled import render_image_tiled, _camera_mats
+
+
+def _scene(n=128, seed=0, spread=0.8):
+    model = g3.random_gaussians(jax.random.key(seed), n, extent=spread)
+    model.means = model.means.at[:, 2].add(-3.0)
+    return model
+
+
+def _camera(res=32, fov=60.0):
+    return g3.Camera.from_fovy(res, res, fov, np.eye(4))
+
+
+CFG = g3.DEFAULT_CONFIG.replace(tile_size=8, chunk_size=128)
+
+
+def test_binning_pairs_cover_all_visible_gaussians():
+    model = _scene(64)
+    act = model.activate()
+    cam = _camera(32)
+    w2c, proj = _camera_mats(cam)
+    cap, cap_pad = binning.plan_capacity(act, w2c, proj, 32, 32, CFG)
+    b = binning.bin_gaussians(act, w2c, proj, 32, 32, CFG, cap, cap_pad)
+    assert int(b.overflow) == 0
+    pair_g = np.asarray(b.pair_gauss)
+    real = pair_g[pair_g < 64]
+    # a healthy number of gaussians appear at least once
+    assert len(np.unique(real)) > 10
+    # counts match: num_pairs == sum of per-tile counts == real pair slots
+    assert int(b.num_pairs) == int(np.asarray(b.tile_counts).sum())
+    assert int(b.num_pairs) == len(real)
+    # chunk_tile is nondecreasing
+    ct = np.asarray(b.chunk_tile)
+    assert (np.diff(ct) >= 0).all()
+
+
+def test_binning_depth_sorted_within_tile():
+    model = _scene(96, seed=2)
+    act = model.activate()
+    cam = _camera(16)
+    w2c, proj = _camera_mats(cam)
+    cap, cap_pad = binning.plan_capacity(act, w2c, proj, 16, 16, CFG)
+    b = binning.bin_gaussians(act, w2c, proj, 16, 16, CFG, cap, cap_pad)
+    depth = -(np.asarray(act.means) @ np.asarray(w2c)[2, :3]
+              + np.asarray(w2c)[2, 3])
+    pair_g = np.asarray(b.pair_gauss)
+    ct = np.asarray(b.chunk_tile)
+    gsz = CFG.chunk_size
+    num_tiles = (16 // CFG.tile_size) ** 2
+    for tile in range(num_tiles):
+        chunks = np.nonzero(ct == tile)[0]
+        ids = np.concatenate([pair_g[c * gsz:(c + 1) * gsz] for c in chunks]) \
+            if len(chunks) else np.array([], int)
+        ids = ids[ids < 96]
+        d = depth[ids]
+        assert (np.diff(d) >= -1e-6).all(), f"tile {tile} not depth sorted"
+
+
+def test_tiled_scan_matches_brute_force():
+    """Center-depth ordering vs exact ordering: images should closely agree."""
+    model = _scene(128, seed=1)
+    cam = _camera(32)
+    brute = render_image(model, cam)
+    tiled = render_image_tiled(model, cam, CFG, impl="scan")
+    assert int(tiled["overflow"]) == 0
+    rgb_a = np.asarray(brute["rgb"])
+    rgb_b = np.asarray(tiled["rgb"])
+    # transmittance must match tightly (order-independent when alphas commute)
+    np.testing.assert_allclose(np.asarray(tiled["transmittance"]),
+                               np.asarray(brute["transmittance"]), atol=2e-3)
+    # rgb: ordering differences only where gaussians overlap; compare PSNR
+    mse = np.mean((rgb_a - rgb_b) ** 2)
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 35.0, f"tiled vs brute-force PSNR too low: {psnr:.1f} dB"
+    # most pixels identical
+    close = np.isclose(rgb_a, rgb_b, atol=1e-3).mean()
+    assert close > 0.95
+
+
+def test_pallas_interpret_matches_scan():
+    model = _scene(96, seed=3)
+    cam = _camera(16)
+    out_scan = render_image_tiled(model, cam, CFG, impl="scan")
+    out_pl = render_image_tiled(model, cam, CFG, impl="interpret")
+    np.testing.assert_allclose(np.asarray(out_pl["rgb"]),
+                               np.asarray(out_scan["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_pl["transmittance"]),
+                               np.asarray(out_scan["transmittance"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_pl["depth"]),
+                               np.asarray(out_scan["depth"]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_pl["hit_count"]),
+                                  np.asarray(out_scan["hit_count"]))
+
+
+def test_empty_tiles_are_background():
+    model = _scene(4, seed=4, spread=0.05)  # tiny cluster in the middle
+    cam = _camera(32)
+    out = render_image_tiled(model, cam, CFG, impl="scan")
+    t = np.asarray(out["transmittance"])
+    rgb = np.asarray(out["rgb"])
+    # corners see nothing
+    assert t[0, 0] == 1.0 and t[-1, -1] == 1.0
+    np.testing.assert_allclose(rgb[0, 0], 0.0)
+    assert np.isfinite(rgb).all()
+
+
+def test_gradients_flow_through_tiled_scan():
+    model = _scene(32, seed=5)
+    cam = _camera(16)
+    w2c, proj = _camera_mats(cam)
+    capacity = binning.plan_capacity(model.activate(), w2c, proj, 16, 16, CFG)
+
+    def loss(m):
+        out = render_image_tiled(m, cam, CFG, impl="scan", capacity=capacity)
+        return jnp.mean(out["rgb"])
+
+    gr = jax.grad(loss)(model)
+    assert float(jnp.linalg.norm(gr.means)) > 0
+    assert float(jnp.linalg.norm(gr.sh_dc)) > 0
+    assert np.isfinite(np.asarray(gr.quats)).all()
