@@ -2,6 +2,7 @@
 
 from . import binning
 from . import pallas_forward
+from . import pallas_vjp
 from . import reference
 from . import tile_math
 from . import tiled

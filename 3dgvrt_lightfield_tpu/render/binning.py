@@ -133,10 +133,24 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     tile_y = ty0[pair_g] + j // rect_w[pair_g]
     tile_id = jnp.where(in_range, tile_y * nx + tile_x, num_tiles)
 
-    # sort by (tile, depth); invalid pairs sink to the dummy tile at the end
-    pair_depth = jnp.where(in_range, depth[pair_g], jnp.inf)
-    tile_sorted, _, g_sorted = jax.lax.sort(
-        (tile_id, pair_depth, pair_g), num_keys=2)
+    # sort by (tile, depth) with one packed int32 key: tile in the high bits,
+    # scene-normalized quantized depth in the low bits (cheaper on TPU than a
+    # two-key three-operand sort; depth quantization only reorders hits whose
+    # depths differ by < range/2^depth_bits, which is visually irrelevant)
+    tile_bits = max(1, (num_tiles + 1).bit_length())
+    # cap at 24 bits: beyond the f32 mantissa extra depth levels are noise,
+    # and the int-domain clamp below must be exact
+    depth_bits = min(31 - tile_bits, 24)
+    valid_depth = jnp.where(valid, depth, jnp.nan)
+    dmin = jnp.nanmin(valid_depth)
+    dmax = jnp.nanmax(valid_depth)
+    dscale = (2.0 ** depth_bits - 2.0) / jnp.maximum(dmax - dmin, 1e-9)
+    pair_q = jnp.clip(
+        (jnp.maximum(depth[pair_g] - dmin, 0.0) * dscale).astype(jnp.int32),
+        0, 2 ** depth_bits - 1)
+    key = (tile_id << depth_bits) | jnp.where(in_range, pair_q, 0)
+    key_sorted, g_sorted = jax.lax.sort_key_val(key, pair_g)
+    tile_sorted = key_sorted >> depth_bits
 
     # per-tile counts and padded chunk-aligned starts
     tile_counts = jnp.zeros((num_tiles + 1,), jnp.int32).at[tile_sorted].add(

@@ -44,16 +44,19 @@ def init_acc(r: int, dtype=jnp.float32) -> jnp.ndarray:
     return acc.at[:, ACC_T].set(1.0)
 
 
-def chunk_update(rays: jnp.ndarray, geom: jnp.ndarray, sh_r: jnp.ndarray,
-                 sh_g: jnp.ndarray, sh_b: jnp.ndarray, acc: jnp.ndarray,
-                 cfg: RenderConfig) -> jnp.ndarray:
-    """Composite one Gaussian chunk into the tile accumulator.
+def chunk_core(rays: jnp.ndarray, geom: jnp.ndarray, sh_r: jnp.ndarray,
+               sh_g: jnp.ndarray, sh_b: jnp.ndarray, t_in: jnp.ndarray,
+               cfg: RenderConfig):
+    """Evaluate one Gaussian chunk against a tile's rays.
 
-    All arguments are jnp arrays with the layouts documented above; returns
-    the updated (R, 8) accumulator.  Runs identically inside a Pallas kernel
-    (on VMEM-loaded blocks) and under vanilla jit (the scan reference path).
+    The accumulator enters only through the per-ray transmittance `t_in`
+    (R, 1); radiance/depth/hit-count are additive, so this is the exact
+    sequential-composite step factored for a cheap backward residual.
+
+    Returns (t_out (R, 1), rgb_contrib (R, 3), depth_contrib (R, 1),
+    hits (R, 1)).
     """
-    f32 = acc.dtype
+    f32 = t_in.dtype
     o = [rays[:, j:j + 1] for j in range(3)]          # 3 x (R, 1)
     d = [rays[:, 3 + j:4 + j] for j in range(3)]      # 3 x (R, 1)
     tmin = rays[:, 6:7]
@@ -74,8 +77,10 @@ def chunk_update(rays: jnp.ndarray, geom: jnp.ndarray, sh_r: jnp.ndarray,
         gro.append(inv_s[i] * pos_i)     # (R, G)
         grdu.append(inv_s[i] * dir_i)    # (R, G)
 
+    # clamp well above f32-denormal: rsqrt's VJP is ~x^-1.5 and must not
+    # overflow to inf for degenerate (padding/dummy) pairs (inf * 0 = NaN)
     nrm2 = grdu[0] * grdu[0] + grdu[1] * grdu[1] + grdu[2] * grdu[2]
-    inv_n = jax.lax.rsqrt(jnp.maximum(nrm2, 1e-30))
+    inv_n = jax.lax.rsqrt(jnp.maximum(nrm2, 1e-20))
     grd = [g * inv_n for g in grdu]
 
     # grayDist = |cross(grd, gro)|^2 (gaussianfunctions.glsl:194-195)
@@ -90,7 +95,8 @@ def chunk_update(rays: jnp.ndarray, geom: jnp.ndarray, sh_r: jnp.ndarray,
     # max-response depth along the ray (gaussianfunctions.glsl:205-206)
     s_loc = -(grd[0] * gro[0] + grd[1] * gro[1] + grd[2] * gro[2])
     scale_sq = sum((grd[i] / inv_s[i]) ** 2 for i in range(3))
-    t = s_loc * jnp.sqrt(scale_sq)
+    # clamp: keeps sqrt's VJP finite for degenerate (padding/dummy) pairs
+    t = s_loc * jnp.sqrt(jnp.maximum(scale_sq, 1e-20))
 
     accept = ((resp > cfg.hit_min_response) & (alpha > cfg.alpha_min)
               & (s_loc > 0.0) & (t >= tmin) & (t <= tmax))
@@ -104,7 +110,6 @@ def chunk_update(rays: jnp.ndarray, geom: jnp.ndarray, sh_r: jnp.ndarray,
     u_strict = (gi < gj).astype(f32)
     cums_excl = jnp.dot(la, u_strict, preferred_element_type=f32)
 
-    t_in = acc[:, ACC_T:ACC_T + 1]                     # (R, 1)
     t_before = t_in * jnp.exp(cums_excl)               # (R, G)
     active = t_before > cfg.min_transmittance
     w = alpha_eff * t_before * active
@@ -125,11 +130,17 @@ def chunk_update(rays: jnp.ndarray, geom: jnp.ndarray, sh_r: jnp.ndarray,
     hits = jnp.sum((accept & active).astype(f32), axis=1, keepdims=True)
     la_active = jnp.where(active, la, 0.0)
     t_out = t_in * jnp.exp(jnp.sum(la_active, axis=1, keepdims=True))
+    return t_out, jnp.concatenate(out_rgb, axis=1), depth_contrib, hits
 
-    new_cols = jnp.concatenate(
-        [acc[:, 0:3] + jnp.concatenate(out_rgb, axis=1),
-         acc[:, 3:4] + depth_contrib,
+
+def chunk_update(rays, geom, sh_r, sh_g, sh_b, acc, cfg: RenderConfig):
+    """Composite one Gaussian chunk into the (R, 8) tile accumulator."""
+    t_in = acc[:, ACC_T:ACC_T + 1]
+    t_out, rgb_c, depth_c, hits = chunk_core(rays, geom, sh_r, sh_g, sh_b,
+                                             t_in, cfg)
+    return jnp.concatenate(
+        [acc[:, 0:3] + rgb_c,
+         acc[:, 3:4] + depth_c,
          t_out,
          acc[:, 5:6] + hits,
          acc[:, 6:8]], axis=1)
-    return new_cols

@@ -1,15 +1,18 @@
 """High-level tiled renderer: binning + fused kernel + image assembly.
 
-The production render path (SURVEY.md section 7 step 3).  `render_image_tiled`
-is the TPU analog of the reference's per-frame draw: update camera, dispatch
-the particle-rendering pipeline, read back the image
-(VulkanFullRT.cpp:2115-2162) — except binning replaces the (startup) AS build,
-which makes the whole path differentiable and camera-batchable.
+The production render path (SURVEY.md section 7 step 3).  `TiledRenderer`
+is the TPU analog of the reference's prepared per-frame draw: the capacity
+plan and ray tiling play the role of the startup AS build + pipeline prepare
+(VulkanFullRT.cpp:1990-2110), and `render` is the per-frame dispatch
+(VulkanFullRT.cpp:2115-2162) — except the whole path is differentiable and
+camera-batchable, with binning re-run per frame (cheap, XLA) instead of a
+frozen BVH.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from functools import partial
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,33 +31,11 @@ def _camera_mats(camera):
     return w2c, proj
 
 
-def render_image_tiled(model: GaussianModel, camera,
-                       cfg: RenderConfig = DEFAULT_CONFIG,
-                       impl: str = "auto",
-                       capacity: Optional[tuple] = None):
-    """Render a full image through the tiled path.
-
-    Args:
-      impl: 'pallas' (compiled kernel), 'interpret' (Pallas interpreter),
-        'scan' (lax.scan reference), or 'auto' (pallas on TPU, scan elsewhere).
-      capacity: optional (capacity, capacity_padded) override; measured from
-        the scene when omitted.
-
-    Returns dict with rgb (H, W, 3), depth, transmittance, hit_count, and
-    binning stats (num_pairs, overflow).
-    """
-    act = model.activate()
-    w2c, proj = _camera_mats(camera)
-    w, h = camera.width, camera.height
-    if capacity is None:
-        capacity = plan_capacity(act, w2c, proj, w, h, cfg)
-    cap, cap_pad = capacity
-
-    binned = bin_gaussians(act, w2c, proj, w, h, cfg, cap, cap_pad)
-    rays = tile_rays(camera, cfg)
-
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+@partial(jax.jit, static_argnames=("width", "height", "cfg", "cap", "cap_pad",
+                                   "impl"))
+def _render_pipeline(act, w2c, proj, rays, width, height, cfg, cap, cap_pad,
+                     impl):
+    binned = bin_gaussians(act, w2c, proj, width, height, cfg, cap, cap_pad)
     if impl == "pallas":
         acc = forward_tiles(binned, rays, cfg, interpret=False)
     elif impl == "interpret":
@@ -63,8 +44,7 @@ def render_image_tiled(model: GaussianModel, camera,
         acc = forward_tiles_reference(binned, rays, cfg)
     else:
         raise ValueError(f"unknown impl {impl!r}")
-
-    img = untile(acc, w, h, cfg.tile_size)
+    img = untile(acc, width, height, cfg.tile_size)
     return {
         "rgb": img[..., 0:3],
         "depth": img[..., ACC_DEPTH],
@@ -73,3 +53,69 @@ def render_image_tiled(model: GaussianModel, camera,
         "num_pairs": binned.num_pairs,
         "overflow": binned.overflow,
     }
+
+
+def _resolve_impl(impl: str) -> str:
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
+    return impl
+
+
+class TiledRenderer:
+    """Reusable tiled render pipeline with cached capacity plan and rays.
+
+    One instance serves any camera of the same (width, height); the pair
+    capacity is planned from representative (model, cameras) and padded with
+    slack, so the compiled pipeline is reused across frames/poses.
+    """
+
+    def __init__(self, width: int, height: int,
+                 cfg: RenderConfig = DEFAULT_CONFIG,
+                 capacity: Optional[tuple] = None,
+                 impl: str = "auto"):
+        assert width % cfg.tile_size == 0 and height % cfg.tile_size == 0
+        self.width, self.height, self.cfg = width, height, cfg
+        self.impl = _resolve_impl(impl)
+        self.capacity = capacity
+        self._ray_cache = {}
+
+    def plan(self, model: GaussianModel, cameras: Sequence) -> tuple:
+        """Measure pair counts over representative cameras -> static capacity."""
+        act = model.activate()
+        cap = 0
+        for cam in cameras:
+            w2c, proj = _camera_mats(cam)
+            c, _ = plan_capacity(act, w2c, proj, self.width, self.height,
+                                 self.cfg)
+            cap = max(cap, c)
+        g = self.cfg.chunk_size
+        nt = (self.width // self.cfg.tile_size) * (self.height // self.cfg.tile_size)
+        self.capacity = (cap, cap + (nt + 1) * g)
+        return self.capacity
+
+    def _rays(self, camera):
+        key = (id(camera), camera.width, camera.height)
+        if key not in self._ray_cache:
+            if len(self._ray_cache) > 64:
+                self._ray_cache.clear()
+            self._ray_cache[key] = jax.device_put(
+                tile_rays(camera, self.cfg))
+        return self._ray_cache[key]
+
+    def render(self, model: GaussianModel, camera):
+        if self.capacity is None:
+            self.plan(model, [camera])
+        w2c, proj = _camera_mats(camera)
+        return _render_pipeline(model.activate(), w2c, proj,
+                                self._rays(camera), self.width, self.height,
+                                self.cfg, *self.capacity, self.impl)
+
+
+def render_image_tiled(model: GaussianModel, camera,
+                       cfg: RenderConfig = DEFAULT_CONFIG,
+                       impl: str = "auto",
+                       capacity: Optional[tuple] = None):
+    """One-shot tiled render (convenience wrapper over TiledRenderer)."""
+    r = TiledRenderer(camera.width, camera.height, cfg, capacity=capacity,
+                      impl=impl)
+    return r.render(model, camera)

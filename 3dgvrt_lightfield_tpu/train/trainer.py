@@ -1,0 +1,147 @@
+"""Fine-tuning loop: Adam on all Gaussian parameter groups.
+
+New capability — the reference is forward/inference-only (SURVEY.md section 0:
+"no training loop, no backward pass, no gradients, no optimizer").  BASELINE
+config[4]: end-to-end Adam fine-tune on means/covs/SH/opacity with a
+densify-free schedule, PSNR tracked against reference renders.
+
+Per-group learning rates follow the standard 3DGS recipe (position lr scaled
+by scene extent with exponential decay; SH rest at dc/20).  The train step is
+shard_mapped over the camera batch: parameters replicated, gradients pmean'd
+over ICI (overlapped with backward by XLA), update applied identically on
+every device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import RenderConfig, DEFAULT_CONFIG
+from ..models.gaussians import GaussianModel
+from ..parallel.sharding import CameraBatch, _render_one
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr_means: float = 1.6e-4          # x scene_extent, exp-decayed
+    lr_means_final_scale: float = 0.01
+    lr_scales: float = 5e-3
+    lr_quats: float = 1e-3
+    lr_opacity: float = 0.05
+    lr_sh_dc: float = 2.5e-3
+    lr_sh_rest: float = 2.5e-3 / 20.0
+    total_steps: int = 1000
+    l1_weight: float = 1.0
+    l2_weight: float = 0.0
+    scene_extent: float = 1.0
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    """Per-parameter-group Adam via optax.multi_transform."""
+    means_sched = optax.exponential_decay(
+        tc.lr_means * tc.scene_extent, tc.total_steps,
+        tc.lr_means_final_scale)
+    txs = {
+        "means": optax.adam(means_sched, eps=1e-15),
+        "scales_log": optax.adam(tc.lr_scales, eps=1e-15),
+        "quats": optax.adam(tc.lr_quats, eps=1e-15),
+        "opacity_logit": optax.adam(tc.lr_opacity, eps=1e-15),
+        "sh_dc": optax.adam(tc.lr_sh_dc, eps=1e-15),
+        "sh_rest": optax.adam(tc.lr_sh_rest, eps=1e-15),
+    }
+    labels = GaussianModel(
+        means="means", scales_log="scales_log", quats="quats",
+        opacity_logit="opacity_logit", sh_dc="sh_dc", sh_rest="sh_rest")
+    return optax.multi_transform(txs, labels)
+
+
+def _batch_loss(act, cams: CameraBatch, targets, width, height, cfg, cap,
+                cap_pad, impl, tc: TrainConfig):
+    def one(args):
+        w2c, proj, rays, target = args
+        img = _render_one(act, w2c, proj, rays, width, height, cfg, cap,
+                          cap_pad, impl)
+        rgb = img[..., 0:3]
+        l1 = jnp.mean(jnp.abs(rgb - target))
+        l2 = jnp.mean((rgb - target) ** 2)
+        return tc.l1_weight * l1 + tc.l2_weight * l2
+    losses = jax.lax.map(one, (cams.w2c, cams.proj, cams.rays, targets))
+    return jnp.mean(losses)
+
+
+class Trainer:
+    """Adam fine-tuner over a (possibly sharded) camera batch.
+
+    Usage:
+        t = Trainer(width, height, cfg, tc, capacity, mesh=mesh)
+        state = t.init(model)
+        state, loss = t.step(state, camera_batch, targets)
+    """
+
+    def __init__(self, width: int, height: int,
+                 cfg: RenderConfig = DEFAULT_CONFIG,
+                 tc: TrainConfig = TrainConfig(),
+                 capacity: tuple = (0, 0),
+                 mesh: Optional[Mesh] = None,
+                 impl: str = "auto", axis: str = "cam"):
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+        self.width, self.height, self.cfg, self.tc = width, height, cfg, tc
+        self.cap, self.cap_pad = capacity
+        self.impl, self.mesh, self.axis = impl, mesh, axis
+        self.optimizer = make_optimizer(tc)
+        self._step = self._build_step()
+
+    def init(self, model: GaussianModel):
+        return (model, self.optimizer.init(model))
+
+    def _build_step(self):
+        width, height, cfg = self.width, self.height, self.cfg
+        cap, cap_pad, impl, tc = self.cap, self.cap_pad, self.impl, self.tc
+        optimizer, mesh, axis = self.optimizer, self.mesh, self.axis
+
+        def loss_and_grads(model, cams, targets):
+            def loss_fn(m):
+                return _batch_loss(m.activate(), cams, targets, width,
+                                   height, cfg, cap, cap_pad, impl, tc)
+            return jax.value_and_grad(loss_fn)(model)
+
+        if mesh is None:
+            def step(state, cams, targets):
+                model, opt_state = state
+                loss, grads = loss_and_grads(model, cams, targets)
+                updates, opt_state = optimizer.update(grads, opt_state, model)
+                model = optax.apply_updates(model, updates)
+                return (model, opt_state), loss
+        else:
+            def device_fn(model, cams, targets):
+                loss, grads = loss_and_grads(model, cams, targets)
+                # grad all-reduce over ICI, overlapped with backward by XLA
+                grads = jax.lax.pmean(grads, axis)
+                loss = jax.lax.pmean(loss, axis)
+                return loss, grads
+
+            sharded = jax.shard_map(
+                device_fn, mesh=mesh,
+                in_specs=(P(), P(axis), P(axis)),
+                out_specs=(P(), P()))
+
+            def step(state, cams, targets):
+                model, opt_state = state
+                loss, grads = sharded(model, cams, targets)
+                updates, opt_state = optimizer.update(grads, opt_state, model)
+                model = optax.apply_updates(model, updates)
+                return (model, opt_state), loss
+
+        return jax.jit(step)
+
+    def step(self, state, cams: CameraBatch, targets):
+        return self._step(state, cams, targets)

@@ -1,0 +1,79 @@
+"""Benchmark: rays/s/chip, forward+backward, at 1080p (BASELINE.md metric).
+
+Protocol mirrors the reference's benchmark mode (base/benchmark.hpp:37-104):
+warmup phase, then a timed steady-state window; the score is rays/s of a full
+forward+backward (render + L2 loss + gradients w.r.t. every Gaussian
+parameter group) at 1920x1088 on one chip.
+
+The reference publishes no numbers (BASELINE.json.published == {}), so
+vs_baseline is reported against this repo's provisional roofline target of
+100 Mrays/s fwd+bwd per chip — see BASELINE.md targets ("reference-matching
+forward+backward at >=80% of roofline").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TARGET_RAYS_PER_S = 100e6  # provisional roofline target (fwd+bwd, 1 chip)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import gvrt_tpu as g3
+    from gvrt_tpu.render.tiled import TiledRenderer
+
+    width, height = 1920, 1088  # 1080p rounded to the 16px tile grid
+    n_gauss = int(os.environ.get("GVRT_BENCH_GAUSSIANS", 300_000))
+    cfg = g3.DEFAULT_CONFIG
+
+    # synthetic lego-scale scene: clustered anisotropic gaussians facing cam
+    model = g3.random_gaussians(jax.random.key(0), n_gauss, extent=1.0)
+    model.means = model.means.at[:, 2].add(-3.0)
+    cam = g3.Camera.from_fovy(width, height, 50.0, np.eye(4))
+
+    impl = "pallas" if jax.default_backend() == "tpu" else "interpret"
+    renderer = TiledRenderer(width, height, cfg, impl=impl)
+    renderer.plan(model, [cam])
+
+    target = jnp.zeros((height, width, 3)) + 0.3
+
+    @jax.jit
+    def fwd_bwd(m):
+        def loss(m):
+            out = renderer.render(m, cam)
+            return jnp.mean((out["rgb"] - target) ** 2)
+        return jax.value_and_grad(loss)(m)
+
+    # warmup / compile
+    val, grads = fwd_bwd(model)
+    jax.block_until_ready(grads.means)
+    assert np.isfinite(float(val))
+
+    # steady-state window (time-based, like USE_TIME_BASED_FPS)
+    t0 = time.time()
+    frames = 0
+    while time.time() - t0 < 10.0:
+        val, grads = fwd_bwd(model)
+        jax.block_until_ready(grads.means)
+        frames += 1
+    dt = (time.time() - t0) / frames
+
+    rays_per_s = width * height / dt
+    print(json.dumps({
+        "metric": "rays_per_sec_fwd_bwd_1080p_1chip",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / TARGET_RAYS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

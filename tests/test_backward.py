@@ -1,0 +1,123 @@
+"""Hand-written Pallas backward vs scan-autodiff vs brute-force autodiff."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import gvrt_tpu as g3
+from gvrt_tpu.render import binning
+from gvrt_tpu.render.tiled import TiledRenderer, _camera_mats
+
+CFG = g3.DEFAULT_CONFIG.replace(tile_size=8, chunk_size=128)
+
+
+def _scene(n=48, seed=7):
+    model = g3.random_gaussians(jax.random.key(seed), n, extent=0.7)
+    model.means = model.means.at[:, 2].add(-3.0)
+    return model
+
+
+def _loss_fn(renderer, cam, target):
+    def loss(m):
+        out = renderer.render(m, cam)
+        return (jnp.mean((out["rgb"] - target) ** 2)
+                + 1e-2 * jnp.mean(out["depth"]))
+    return loss
+
+
+@pytest.mark.parametrize("res", [16, 24])
+def test_pallas_backward_matches_scan_autodiff(res):
+    model = _scene(64)
+    cam = g3.Camera.from_fovy(res, res, 60.0, np.eye(4))
+    target = jnp.zeros((res, res, 3)) + 0.25
+
+    r_scan = TiledRenderer(res, res, CFG, impl="scan")
+    r_pl = TiledRenderer(res, res, CFG, impl="interpret")
+    cap = r_scan.plan(model, [cam])
+    r_pl.capacity = cap
+
+    g_scan = jax.grad(_loss_fn(r_scan, cam, target))(model)
+    g_pl = jax.grad(_loss_fn(r_pl, cam, target))(model)
+
+    for field in ("means", "scales_log", "quats", "opacity_logit", "sh_dc",
+                  "sh_rest"):
+        a = np.asarray(getattr(g_scan, field))
+        b = np.asarray(getattr(g_pl, field))
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(b, a, atol=2e-5 * scale, rtol=2e-4,
+                                   err_msg=field)
+        assert np.abs(a).max() > 0, f"degenerate test: zero grads for {field}"
+
+
+def test_pallas_backward_matches_brute_force_autodiff():
+    """End-to-end: tiled custom-VJP grads vs brute-force renderer autodiff.
+
+    Orderings differ (center-depth vs exact hit depth), so compare loosely
+    but require strong correlation.
+    """
+    model = _scene(32, seed=9)
+    res = 16
+    cam = g3.Camera.from_fovy(res, res, 60.0, np.eye(4))
+    target = jnp.zeros((res, res, 3)) + 0.25
+
+    r_pl = TiledRenderer(res, res, CFG, impl="interpret")
+    r_pl.plan(model, [cam])
+    g_tiled = jax.grad(_loss_fn(r_pl, cam, target))(model)
+
+    from gvrt_tpu.render.reference import render_image
+
+    def brute_loss(m):
+        out = render_image(m, cam, CFG)
+        return (jnp.mean((out["rgb"] - target) ** 2)
+                + 1e-2 * jnp.mean(out["depth"]))
+
+    g_brute = jax.grad(brute_loss)(model)
+
+    for field in ("means", "sh_dc", "opacity_logit"):
+        a = np.asarray(getattr(g_brute, field)).ravel()
+        b = np.asarray(getattr(g_tiled, field)).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.99, f"{field} grad correlation {corr:.4f}"
+
+
+def test_backward_with_saturated_rays():
+    """Early-terminated rays must produce finite (and zero-tail) gradients."""
+    n = 192
+    model = g3.GaussianModel(
+        means=jnp.concatenate(
+            [0.1 * jax.random.normal(jax.random.key(1), (n, 2)),
+             -2.0 - 0.01 * jnp.arange(n, dtype=jnp.float32)[:, None]], axis=1),
+        scales_log=jnp.full((n, 3), -0.7),
+        quats=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1)),
+        opacity_logit=jnp.full((n,), 6.0),
+        sh_dc=jnp.tile(jnp.asarray([[0.5, 0.2, 0.1]]), (n, 1)),
+        sh_rest=jnp.zeros((n, 15, 3)),
+    )
+    res = 8
+    cam = g3.Camera.from_fovy(res, res, 60.0, np.eye(4))
+    r_pl = TiledRenderer(res, res, CFG, impl="interpret")
+    r_scan = TiledRenderer(res, res, CFG, impl="scan")
+    cap = r_scan.plan(model, [cam])
+    r_pl.capacity = cap
+
+    out = r_pl.render(model, cam)
+    assert np.asarray(out["transmittance"]).min() < 1e-3  # saturated
+
+    def loss(renderer):
+        return lambda m: jnp.mean(renderer.render(m, cam)["rgb"])
+
+    g_pl = jax.grad(loss(r_pl))(model)
+    g_scan = jax.grad(loss(r_scan))(model)
+    for field in ("means", "opacity_logit", "sh_dc"):
+        a = np.asarray(getattr(g_scan, field))
+        b = np.asarray(getattr(g_pl, field))
+        assert np.isfinite(b).all()
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(b, a, atol=5e-5 * scale, rtol=5e-4,
+                                   err_msg=field)
+    # gaussians far behind the opaque wall get (near-)zero gradients
+    gm = np.abs(np.asarray(g_pl.means)).sum(1)
+    assert gm[-20:].max() <= 1e-6 + 1e-3 * gm.max()
