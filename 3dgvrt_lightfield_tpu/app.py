@@ -1,0 +1,269 @@
+"""Headless viewer / CLI — the TPU analog of the reference's VulkanFullRT app.
+
+The reference is an interactive windowed viewer with a CLI
+(base/CommandLineParser.hpp, options registered at
+base/VulkanRTBase.cpp:1172-1184: --width/--height/--gpu/--benchmark/-bw/-br/
+-bf/-bt/...) plus hotkeys for camera control, benchmark ("measure fps"),
+quality eval (key O) and pose dump (key P).  On TPU there is no swapchain;
+the equivalents are subcommands that render to disk:
+
+  render     orbit or dataset-camera renders -> PNG sequence
+  benchmark  warmup + timed fps loop, CSV out   (-b -bw -br -bf -bt)
+  eval       render dataset cameras + PSNR/SSIM vs ground truth (EVAL_QUALITY)
+  lightfield Gaussian light-field precompute    (GAUSSIAN_LIGHT_FIELD)
+  train      Adam fine-tune against dataset images
+  info       device / scene info
+
+Run as:  python -m 3dgvrt_lightfield_tpu <subcommand> [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+import numpy as np
+
+
+def _orbit_cameras(model, n_frames, width, height, fovy, radius_scale=2.5,
+                   znear=0.005, zfar=20.0):
+    """Circle of cameras around the scene (DYNAMIC_CAMERA's rotating pose,
+    VulkanFullRT.cpp:1311-1329, generalized to the scene bounding sphere)."""
+    from .io.cameras import Camera, look_at_inverse
+    pos = np.asarray(model.means)
+    lo, hi = pos.min(0), pos.max(0)
+    center = (lo + hi) / 2
+    radius = float(np.linalg.norm(hi - lo) / 2) * radius_scale
+    cams = []
+    for i in range(n_frames):
+        theta = 2 * math.pi * i / max(n_frames, 1)
+        eye = center + radius * np.asarray(
+            [math.cos(theta), math.sin(theta), 0.4])
+        c2w = look_at_inverse(eye, center, np.asarray([0.0, 0.0, 1.0]))
+        cams.append(Camera.from_fovy(width, height, fovy, c2w, znear, zfar,
+                                     name=f"orbit_{i:04d}"))
+    return cams
+
+
+def _load_model(args):
+    from .models.gaussians import GaussianModel
+    model = GaussianModel.from_ply(args.ply)
+    if getattr(args, "filter_abnormal", False):
+        model = model.filtered()
+    return model
+
+
+def _cameras(args, model):
+    if getattr(args, "camera_json", None):
+        from .io.cameras import load_nerf_cameras
+        return load_nerf_cameras(args.camera_json, args.width, args.height)
+    return _orbit_cameras(model, getattr(args, "frames", 8), args.width,
+                          args.height, args.fovy)
+
+
+def _common(p):
+    p.add_argument("--ply", required=True, help="3DGS .ply scene")
+    p.add_argument("--width", "-w", type=int, default=800)
+    p.add_argument("--height", type=int, default=800)
+    p.add_argument("--fovy", type=float, default=39.6,
+                   help="degrees (Define.h FOV_Y default)")
+    p.add_argument("--camera-json", help="NeRF transforms_*.json")
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "pallas", "interpret", "scan"])
+    p.add_argument("--filter-abnormal", action="store_true",
+                   help="drop abnormal particles (enclosing-pass filter)")
+
+
+def cmd_render(args):
+    import jax
+    from .config import DEFAULT_CONFIG
+    from .io.image import save_png
+    from .render.tiled import TiledRenderer
+    model = _load_model(args)
+    cams = _cameras(args, model)[: args.frames]
+    r = TiledRenderer(args.width, args.height, DEFAULT_CONFIG, impl=args.impl)
+    r.plan(model, cams[: min(4, len(cams))])
+    os.makedirs(args.out, exist_ok=True)
+    for i, cam in enumerate(cams):
+        out = r.render(model, cam)
+        path = os.path.join(args.out, f"{cam.name or i}.png")
+        save_png(path, np.asarray(out["rgb"]))
+        print(path)
+        if args.hit_counts:
+            from .utils.evaluate import save_hit_counts
+            save_hit_counts(out["hit_count"],
+                            os.path.join(args.out, "rayHitCountsOutput.txt"))
+
+
+def cmd_benchmark(args):
+    import jax
+    from .config import DEFAULT_CONFIG
+    from .render.tiled import TiledRenderer
+    from .utils.benchmark import run_benchmark, save_results
+    model = _load_model(args)
+    cams = _cameras(args, model)
+    cam = cams[0]
+    r = TiledRenderer(args.width, args.height, DEFAULT_CONFIG, impl=args.impl)
+    r.plan(model, [cam])
+
+    def frame():
+        out = r.render(model, cam)
+        jax.block_until_ready(out["rgb"])
+
+    dev = str(jax.devices()[0])
+    res = run_benchmark(frame, warmup=args.benchwarmup,
+                        duration=args.benchruntime,
+                        output_frames=args.benchframes, device=dev)
+    save_results(res, args.benchfilename, frame_times=args.benchframetimes)
+    rays = args.width * args.height
+    print(f"rays/s : {rays * res.fps / 1e6:.2f}M")
+
+
+def cmd_eval(args):
+    from .utils.evaluate import evaluate_dirs, render_eval_set
+    model = _load_model(args)
+    cams = _cameras(args, model)
+    paths = render_eval_set(model, cams, args.out, impl=args.impl)
+    print(f"rendered {len(paths)} views to {args.out}")
+    if args.gt_dir:
+        evaluate_dirs(args.gt_dir, [args.out])
+
+
+def cmd_lightfield(args):
+    from .models.lightfield import (LightFieldConfig, compute_light_field,
+                                    save_light_field)
+    model = _load_model(args)
+    lf = LightFieldConfig(num_cameras=args.cameras, width=args.size,
+                          height=args.size)
+    res = compute_light_field(model, lf, impl=args.impl)
+    paths = save_light_field(args.out, res)
+    print("\n".join(paths))
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+    from .config import DEFAULT_CONFIG
+    from .io.image import load_png
+    from .parallel import camera_batch, make_mesh
+    from .render.tiled import TiledRenderer
+    from .train import TrainConfig, Trainer
+    model = _load_model(args)
+    cams = _cameras(args, model)
+    if args.images_dir:
+        targets, kept = [], []
+        for cam in cams:
+            path = os.path.join(args.images_dir, cam.name + ".png")
+            if os.path.exists(path):
+                targets.append(load_png(path).astype(np.float32) / 255.0)
+                kept.append(cam)
+        cams, targets = kept, targets
+    else:
+        # self-distillation: fit to own renders (smoke-train mode)
+        r = TiledRenderer(args.width, args.height, DEFAULT_CONFIG,
+                          impl=args.impl)
+        r.plan(model, cams[:4])
+        targets = [np.asarray(r.render(model, c)["rgb"]) for c in cams]
+    planner = TiledRenderer(args.width, args.height, DEFAULT_CONFIG,
+                            impl=args.impl)
+    capacity = planner.plan(model, cams[: min(8, len(cams))])
+    mesh = make_mesh(args.devices) if args.devices else None
+    tc = TrainConfig(total_steps=args.steps)
+    trainer = Trainer(args.width, args.height, DEFAULT_CONFIG, tc, capacity,
+                      mesh=mesh, impl=args.impl)
+    state = trainer.init(model)
+    bsz = args.batch
+    rng = np.random.default_rng(0)
+    for step in range(args.steps):
+        idx = rng.choice(len(cams), size=bsz, replace=False)
+        batch = camera_batch([cams[i] for i in idx], DEFAULT_CONFIG)
+        tgt = jnp.stack([jnp.asarray(targets[i]) for i in idx])
+        state, loss = trainer.step(state, batch, tgt)
+        if step % max(1, args.steps // 20) == 0:
+            print(f"step {step}: loss {float(loss):.6f}")
+    state[0].to_ply(args.out)
+    print(f"saved fine-tuned model to {args.out}")
+
+
+def cmd_info(args):
+    import jax
+    print("backend:", jax.default_backend())
+    print("devices:", jax.devices())
+    if args.ply:
+        model = _load_model(args)
+        lo, hi = model.scene_aabb()
+        print(f"gaussians: {model.num_gaussians}")
+        print(f"aabb: {np.asarray(lo)} .. {np.asarray(hi)}")
+        keep = np.asarray(model.abnormal_mask())
+        print(f"abnormal particles: {(~keep).sum()}")
+
+
+def main(argv=None):
+    # The container's sitecustomize force-registers the TPU platform and
+    # overrides JAX_PLATFORMS; make the env var behave as users expect.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized
+    p = argparse.ArgumentParser(prog="3dgvrt_lightfield_tpu",
+                                description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render orbit/dataset views to PNG")
+    _common(pr)
+    pr.add_argument("--out", default="results/output")
+    pr.add_argument("--frames", type=int, default=8)
+    pr.add_argument("--hit-counts", action="store_true",
+                    help="dump per-pixel hit counts (ENABLE_HIT_COUNTS)")
+    pr.set_defaults(fn=cmd_render)
+
+    pb = sub.add_parser("benchmark", help="timed fps loop (-b)")
+    _common(pb)
+    pb.add_argument("--benchwarmup", "-bw", type=float, default=1.0)
+    pb.add_argument("--benchruntime", "-br", type=float, default=10.0)
+    pb.add_argument("--benchframes", "-bf", type=int, default=-1)
+    pb.add_argument("--benchfilename", "-bt", default="fps.txt")
+    pb.add_argument("--benchframetimes", action="store_true", default=True)
+    pb.add_argument("--frames", type=int, default=1)
+    pb.set_defaults(fn=cmd_benchmark)
+
+    pe = sub.add_parser("eval", help="EVAL_QUALITY: render + PSNR/SSIM")
+    _common(pe)
+    pe.add_argument("--out", default="results/evaluations/output")
+    pe.add_argument("--gt-dir", help="ground-truth PNG directory")
+    pe.add_argument("--frames", type=int, default=10 ** 6)
+    pe.set_defaults(fn=cmd_eval)
+
+    pl = sub.add_parser("lightfield", help="GAUSSIAN_LIGHT_FIELD precompute")
+    _common(pl)
+    pl.add_argument("--out", default="results/lightfield")
+    pl.add_argument("--cameras", type=int, default=4)
+    pl.add_argument("--size", type=int, default=180)
+    pl.set_defaults(fn=cmd_lightfield)
+
+    pt = sub.add_parser("train", help="Adam fine-tune")
+    _common(pt)
+    pt.add_argument("--images-dir", help="target PNGs named per camera")
+    pt.add_argument("--steps", type=int, default=200)
+    pt.add_argument("--batch", type=int, default=1)
+    pt.add_argument("--devices", type=int, default=0,
+                    help="shard camera batch over N devices")
+    pt.add_argument("--frames", type=int, default=16)
+    pt.add_argument("--out", default="finetuned.ply")
+    pt.set_defaults(fn=cmd_train)
+
+    pi = sub.add_parser("info", help="device + scene info")
+    pi.add_argument("--ply")
+    pi.add_argument("--filter-abnormal", action="store_true")
+    pi.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

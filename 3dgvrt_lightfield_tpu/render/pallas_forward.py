@@ -66,7 +66,8 @@ def forward_tiles_reference(binned: BinnedScene, rays_tiled: jnp.ndarray,
     def step(acc, chunk):
         geom, sh_r, sh_g, sh_b, tile = chunk
         tile_acc = acc[tile]
-        alive = jnp.max(tile_acc[:, ACC_T]) > cfg.min_transmittance
+        alive = ((tile < num_tiles)
+                 & (jnp.max(tile_acc[:, ACC_T]) > cfg.min_transmittance))
         new = jax.lax.cond(
             alive,
             lambda: chunk_update(rays_tiled[jnp.minimum(tile, num_tiles - 1)],

@@ -41,7 +41,8 @@ TIN_PACK = 16
 
 
 def _fwd_kernel(ct_ref, cf_ref, rays_ref, geom_ref, sh_r_ref, sh_g_ref,
-                sh_b_ref, acc_ref, tin_ref, *, cfg: RenderConfig):
+                sh_b_ref, acc_ref, tin_ref, *, cfg: RenderConfig,
+                num_tiles: int):
     c = pl.program_id(0)
 
     @pl.when(cf_ref[c] == 1)
@@ -51,7 +52,10 @@ def _fwd_kernel(ct_ref, cf_ref, rays_ref, geom_ref, sh_r_ref, sh_g_ref,
         acc_ref[0, :, :] = jnp.where(col == ACC_T, 1.0, 0.0)
 
     tin_ref[c % TIN_PACK, :] = acc_ref[0, :, ACC_T]
-    alive = jnp.max(acc_ref[0, :, ACC_T]) > cfg.min_transmittance
+    # skip saturated tiles (raygen.rgen:142) AND dead trailing capacity
+    # chunks (tile id == num_tiles): they still DMA but cost no compute
+    alive = ((ct_ref[c] < num_tiles)
+             & (jnp.max(acc_ref[0, :, ACC_T]) > cfg.min_transmittance))
 
     @pl.when(alive)
     def _():
@@ -63,7 +67,7 @@ def _fwd_kernel(ct_ref, cf_ref, rays_ref, geom_ref, sh_r_ref, sh_g_ref,
 def _bwd_kernel(ct_ref, cl_ref, rays_ref, geom_ref, sh_r_ref, sh_g_ref,
                 sh_b_ref, tin_ref, bar_acc_ref, bar_t_ref, bar_geom_ref,
                 bar_shr_ref, bar_shg_ref, bar_shb_ref, *, cfg: RenderConfig,
-                num_chunks: int):
+                num_chunks: int, num_tiles: int):
     c = pl.program_id(0)
     rc = num_chunks - 1 - c
 
@@ -73,7 +77,8 @@ def _bwd_kernel(ct_ref, cl_ref, rays_ref, geom_ref, sh_r_ref, sh_g_ref,
         bar_t_ref[0, 0, :] = bar_acc_ref[0, :, ACC_T]
 
     t_in = tin_ref[rc % TIN_PACK, :][:, None]
-    alive = jnp.max(t_in) > cfg.min_transmittance
+    alive = ((ct_ref[rc] < num_tiles)
+             & (jnp.max(t_in) > cfg.min_transmittance))
 
     @pl.when(alive)
     def _():
@@ -121,12 +126,12 @@ def _forward_call(cfg, interpret, with_residuals, geom, sh_r, sh_g, sh_b,
         out_shape.append(jax.ShapeDtypeStruct((nc_pad, r), jnp.float32))
         out_specs.append(
             pl.BlockSpec((TIN_PACK, r), lambda c, ct, cf: (c // TIN_PACK, 0)))
-        kernel = functools.partial(_fwd_kernel, cfg=cfg)
+        kernel = functools.partial(_fwd_kernel, cfg=cfg, num_tiles=num_tiles)
     else:
         def kernel(ct_ref, cf_ref, rays_ref, geom_ref, a, b, d, acc_ref,
-                   *, _cfg=cfg):
+                   *, _cfg=cfg, _nt=num_tiles):
             _fwd_kernel(ct_ref, cf_ref, rays_ref, geom_ref, a, b, d, acc_ref,
-                        _NullRef(), cfg=_cfg)
+                        _NullRef(), cfg=_cfg, num_tiles=_nt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -204,7 +209,8 @@ def _render_bwd(cfg, interpret, res, bar_acc):
         ),
     )
     _, bar_geom, bar_shr, bar_shg, bar_shb = pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg=cfg, num_chunks=num_chunks),
+        functools.partial(_bwd_kernel, cfg=cfg, num_chunks=num_chunks,
+                          num_tiles=num_tiles),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles + 1, 8, r), jnp.float32),

@@ -23,6 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 TARGET_RAYS_PER_S = 100e6  # provisional roofline target (fwd+bwd, 1 chip)
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -34,14 +38,20 @@ def main():
     n_gauss = int(os.environ.get("GVRT_BENCH_GAUSSIANS", 300_000))
     cfg = g3.DEFAULT_CONFIG
 
-    # synthetic lego-scale scene: clustered anisotropic gaussians facing cam
-    model = g3.random_gaussians(jax.random.key(0), n_gauss, extent=1.0)
+    # synthetic lego-scale scene: gaussians sized a few pixels at 1080p like
+    # a trained 3DGS asset (scale sigma ~0.001-0.007 on a unit object at
+    # distance 3), so per-tile occupancy matches real scenes
+    model = g3.random_gaussians(jax.random.key(0), n_gauss, extent=1.0,
+                                scale_range=(-7.0, -5.0))
     model.means = model.means.at[:, 2].add(-3.0)
     cam = g3.Camera.from_fovy(width, height, 50.0, np.eye(4))
 
     impl = "pallas" if jax.default_backend() == "tpu" else "interpret"
+    log(f"bench: backend={jax.default_backend()} impl={impl} "
+        f"gaussians={n_gauss} res={width}x{height}")
     renderer = TiledRenderer(width, height, cfg, impl=impl)
     renderer.plan(model, [cam])
+    log(f"bench: capacity={renderer.capacity}")
 
     target = jnp.zeros((height, width, 3)) + 0.3
 
@@ -53,14 +63,17 @@ def main():
         return jax.value_and_grad(loss)(m)
 
     # warmup / compile
+    t_c = time.time()
     val, grads = fwd_bwd(model)
     jax.block_until_ready(grads.means)
     assert np.isfinite(float(val))
+    log(f"bench: compile+first step {time.time() - t_c:.1f}s")
 
     # steady-state window (time-based, like USE_TIME_BASED_FPS)
+    window = float(os.environ.get("GVRT_BENCH_SECONDS", 8.0))
     t0 = time.time()
     frames = 0
-    while time.time() - t0 < 10.0:
+    while time.time() - t0 < window:
         val, grads = fwd_bwd(model)
         jax.block_until_ready(grads.means)
         frames += 1

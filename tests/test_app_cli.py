@@ -1,0 +1,102 @@
+"""CLI app smoke tests (headless viewer subcommands) on tiny scenes."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import pytest
+
+import gvrt_tpu as g3
+from gvrt_tpu.app import main
+
+
+@pytest.fixture(scope="module")
+def scene_ply(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("scene") / "scene.ply")
+    model = g3.random_gaussians(jax.random.key(0), 200, extent=0.5)
+    model.means = model.means.at[:, 2].add(-3.0)
+    model.to_ply(path)
+    return path
+
+
+def test_cli_info(scene_ply, capsys):
+    main(["info", "--ply", scene_ply])
+    out = capsys.readouterr().out
+    assert "gaussians: 200" in out
+    assert "backend:" in out
+
+
+def test_cli_render_orbit(scene_ply, tmp_path):
+    out_dir = str(tmp_path / "renders")
+    main(["render", "--ply", scene_ply, "--width", "32", "--height", "32",
+          "--frames", "2", "--out", out_dir, "--impl", "scan",
+          "--hit-counts"])
+    files = sorted(os.listdir(out_dir))
+    assert "orbit_0000.png" in files and "orbit_0001.png" in files
+    assert "rayHitCountsOutput.txt" in files
+    img = g3.io.load_png(os.path.join(out_dir, "orbit_0000.png"))
+    assert img.shape == (32, 32, 3)
+
+
+def test_cli_benchmark(scene_ply, tmp_path, capsys):
+    os.chdir(tmp_path)
+    main(["benchmark", "--ply", scene_ply, "--width", "16", "--height", "16",
+          "--impl", "scan", "-bw", "0.1", "-br", "0.3"])
+    out = capsys.readouterr().out
+    assert "fps" in out and "rays/s" in out
+    assert os.path.exists("fps.txt")
+    lines = open("fps.txt").read()
+    assert "device,duration" in lines and "frame,ms" in lines
+
+
+def test_cli_eval_with_gt(scene_ply, tmp_path, capsys):
+    # make a tiny NeRF-style camera json + ground truth = own renders
+    cam_json = {"camera_angle_x": 0.69,
+                "frames": [{"file_path": f"./r_{i}",
+                            "transform_matrix": np.eye(4).tolist()}
+                           for i in range(2)]}
+    jpath = str(tmp_path / "transforms_val.json")
+    with open(jpath, "w") as f:
+        json.dump(cam_json, f)
+    out_dir = str(tmp_path / "out")
+    main(["eval", "--ply", scene_ply, "--width", "16", "--height", "16",
+          "--camera-json", jpath, "--out", out_dir, "--impl", "scan",
+          "--frames", "2"])
+    # second run compares against the first as ground truth -> PSNR inf
+    main(["eval", "--ply", scene_ply, "--width", "16", "--height", "16",
+          "--camera-json", jpath, "--out", str(tmp_path / "out2"),
+          "--gt-dir", out_dir, "--impl", "scan", "--frames", "2"])
+    out = capsys.readouterr().out
+    assert "Average" in out
+
+
+def test_cli_lightfield(scene_ply, tmp_path):
+    out_dir = str(tmp_path / "lf")
+    main(["lightfield", "--ply", scene_ply, "--out", out_dir,
+          "--size", "40", "--impl", "scan"])
+    assert os.path.exists(os.path.join(out_dir, "sampling_cam0000.png"))
+    assert os.path.exists(os.path.join(out_dir, "ray_dirs.npy"))
+
+
+def test_cli_train_self_distill(scene_ply, tmp_path, capsys):
+    out_ply = str(tmp_path / "tuned.ply")
+    main(["train", "--ply", scene_ply, "--width", "16", "--height", "16",
+          "--impl", "scan", "--steps", "3", "--frames", "2", "--out",
+          out_ply])
+    assert os.path.exists(out_ply)
+    tuned = g3.GaussianModel.from_ply(out_ply)
+    assert tuned.num_gaussians == 200
+
+
+def test_cli_module_invocation(scene_ply):
+    """`python -m 3dgvrt_lightfield_tpu` must work despite the digit name."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, "-m", "3dgvrt_lightfield_tpu", "info"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=120)
+    assert res.returncode == 0, res.stderr
+    assert "backend:" in res.stdout
