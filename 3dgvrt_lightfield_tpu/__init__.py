@@ -22,6 +22,7 @@ from . import parallel
 from . import train
 from . import utils
 from . import native
+from . import hybrid
 
 from .models.gaussians import GaussianModel, random_gaussians
 from .io.cameras import Camera, load_nerf_cameras, perspective_vulkan

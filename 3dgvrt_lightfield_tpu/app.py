@@ -187,6 +187,37 @@ def cmd_train(args):
     print(f"saved fine-tuned model to {args.out}")
 
 
+def cmd_hybrid(args):
+    """VulkanHybrid analog: glTF (or procedural) mesh + RT lighting demo."""
+    from .hybrid import (HybridConfig, HybridRenderer, cornell_scene,
+                         load_gltf)
+    from .io.cameras import Camera, look_at_inverse
+    from .io.image import save_png
+    if args.gltf:
+        scene = load_gltf(args.gltf)
+    else:
+        scene = cornell_scene(with_mirror=True, with_glass=args.glass)
+    cfg = HybridConfig(shadow_rays=not args.no_shadows,
+                       reflection=not args.no_reflection,
+                       refraction=not args.no_refraction)
+    r = HybridRenderer(args.width, args.height, cfg)
+    lo = scene.tri_pos.reshape(-1, 3).min(0)
+    hi = scene.tri_pos.reshape(-1, 3).max(0)
+    center = (lo + hi) / 2
+    radius = float(np.linalg.norm(hi - lo)) * 0.9
+    os.makedirs(args.out, exist_ok=True)
+    for i in range(args.frames):
+        theta = 2 * math.pi * i / max(args.frames, 1)
+        eye = center + radius * np.asarray(
+            [math.sin(theta) * 0.35, 0.15, math.cos(theta)])
+        c2w = look_at_inverse(eye, center, np.asarray([0.0, 1.0, 0.0]))
+        cam = Camera.from_fovy(args.width, args.height, args.fovy, c2w)
+        out = r.render(scene, cam, time=i / 24.0)
+        path = os.path.join(args.out, f"hybrid_{i:04d}.png")
+        save_png(path, np.asarray(out["rgb"]))
+        print(path)
+
+
 def cmd_info(args):
     import jax
     print("backend:", jax.default_backend())
@@ -255,6 +286,21 @@ def main(argv=None):
     pt.add_argument("--frames", type=int, default=16)
     pt.add_argument("--out", default="finetuned.ply")
     pt.set_defaults(fn=cmd_train)
+
+    ph = sub.add_parser("hybrid",
+                        help="mesh G-buffer + RT lighting demo (VulkanHybrid)")
+    ph.add_argument("--gltf", help=".gltf/.glb scene (default: cornell box)")
+    ph.add_argument("--width", "-w", type=int, default=512)
+    ph.add_argument("--height", type=int, default=512)
+    ph.add_argument("--fovy", type=float, default=60.0)
+    ph.add_argument("--frames", type=int, default=1)
+    ph.add_argument("--out", default="results/hybrid")
+    ph.add_argument("--glass", action="store_true",
+                    help="refractive right sphere in the cornell demo")
+    ph.add_argument("--no-shadows", action="store_true")
+    ph.add_argument("--no-reflection", action="store_true")
+    ph.add_argument("--no-refraction", action="store_true")
+    ph.set_defaults(fn=cmd_hybrid)
 
     pi = sub.add_parser("info", help="device + scene info")
     pi.add_argument("--ply")
