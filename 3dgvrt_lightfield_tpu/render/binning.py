@@ -31,6 +31,7 @@ from ..config import RenderConfig
 from ..models.gaussians import ActivatedGaussians
 from ..ops.aabb import gaussian_world_aabb, intersect_aabb
 from ..ops.kernels import kernel_scale
+from .param_grads import chunked_gather
 
 
 class BinnedScene(NamedTuple):
@@ -45,6 +46,9 @@ class BinnedScene(NamedTuple):
     num_pairs: jnp.ndarray   # () int32 total pairs before padding
     overflow: jnp.ndarray    # () int32 pairs dropped due to capacity
     pair_gauss: jnp.ndarray  # (capacity_padded,) int32 gaussian id per slot (N = pad)
+    pair_pos: jnp.ndarray    # (capacity,) int32 pre-sort pair -> padded slot
+    gauss_offsets: jnp.ndarray  # (N,) int32 pre-sort pair range start
+    gauss_counts: jnp.ndarray   # (N,) int32 pre-sort pair range length
 
 
 def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
@@ -149,7 +153,8 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
         (jnp.maximum(depth[pair_g] - dmin, 0.0) * dscale).astype(jnp.int32),
         0, 2 ** depth_bits - 1)
     key = (tile_id << depth_bits) | jnp.where(in_range, pair_q, 0)
-    key_sorted, g_sorted = jax.lax.sort_key_val(key, pair_g)
+    key_sorted, g_sorted, p_sorted = jax.lax.sort(
+        (key, pair_g, p_idx), num_keys=1)
     tile_sorted = key_sorted >> depth_bits
 
     # per-tile counts and padded chunk-aligned starts
@@ -166,6 +171,10 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     pair_gauss = jnp.full((capacity_padded,), n, jnp.int32)
     pair_gauss = pair_gauss.at[jnp.where(keep, dest, capacity_padded)].set(
         g_sorted, mode="drop")
+    # invert the sort permutation (second sort, not a scatter): pre-sort
+    # pair p -> its padded chunk slot; the gradient reduction walks this
+    _, pair_pos = jax.lax.sort_key_val(
+        p_sorted, jnp.where(keep, dest, capacity_padded))
 
     # chunk -> tile mapping (+ trailing dummy chunks)
     num_chunks = capacity_padded // g
@@ -192,20 +201,27 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     sh_all = jnp.concatenate([act.sh_coeffs,
                               jnp.zeros((1, 16, 3))], axis=0)  # (N+1, 16, 3)
 
-    def chunked(x16):  # (P_pad, 16) -> (num_chunks, 16, G)
-        return x16[pair_gauss].reshape(num_chunks, g, 16).transpose(0, 2, 1)
+    # one fused (N+1, 64) gather whose custom VJP is the scatter-free
+    # segmented reduction (param_grads.chunked_gather)
+    rows64 = jnp.concatenate(
+        [geom_rows, sh_all[..., 0], sh_all[..., 1], sh_all[..., 2]], axis=1)
+    chunks64 = chunked_gather(g, rows64, pair_gauss, pair_pos, offsets,
+                              counts)
 
     return BinnedScene(
-        geom=chunked(geom_rows),
-        sh_r=chunked(sh_all[..., 0]),
-        sh_g=chunked(sh_all[..., 1]),
-        sh_b=chunked(sh_all[..., 2]),
+        geom=chunks64[:, 0:16, :],
+        sh_r=chunks64[:, 16:32, :],
+        sh_g=chunks64[:, 32:48, :],
+        sh_b=chunks64[:, 48:64, :],
         chunk_tile=chunk_tile,
         chunk_first=chunk_first,
         tile_counts=tile_counts[:num_tiles],
         num_pairs=total,
         overflow=overflow,
         pair_gauss=pair_gauss,
+        pair_pos=pair_pos,
+        gauss_offsets=offsets,
+        gauss_counts=counts,
     )
 
 

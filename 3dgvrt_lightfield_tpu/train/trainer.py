@@ -129,10 +129,15 @@ class Trainer:
                 loss = jax.lax.pmean(loss, axis)
                 return loss, grads
 
+            # check_vma=False: the custom VJP of the binning gather
+            # (param_grads.chunked_gather) yields device-varying cotangents
+            # for the replicated params, which the VMA checker cannot track
+            # through the camera lax.map carry; the explicit pmean above is
+            # the correct reduction.
             sharded = jax.shard_map(
                 device_fn, mesh=mesh,
                 in_specs=(P(), P(axis), P(axis)),
-                out_specs=(P(), P()))
+                out_specs=(P(), P()), check_vma=False)
 
             def step(state, cams, targets):
                 model, opt_state = state

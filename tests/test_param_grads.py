@@ -1,0 +1,104 @@
+"""Scatter-free gradient reduction (render/param_grads.py) tests.
+
+The custom VJP of `chunked_gather` must be bit-for-bit the math of XLA's
+scatter-add transpose of the plain gather; these tests compare against plain
+autodiff on random pair layouts, including padding, dropped pairs and
+count-0 (culled) gaussians.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import gvrt_tpu as g3
+from gvrt_tpu.render import binning
+from gvrt_tpu.render.param_grads import blocked_cumsum, chunked_gather
+from gvrt_tpu.render.tiled import _camera_mats
+
+
+def test_blocked_cumsum_matches_jnp():
+    x = jax.random.normal(jax.random.key(0), (1000, 7))
+    np.testing.assert_allclose(np.asarray(blocked_cumsum(x, block=64)),
+                               np.asarray(jnp.cumsum(x, axis=0)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def _random_layout(key, n, capacity, chunk, c=5):
+    """Build a consistent (pair_gauss, pair_pos, offsets, counts) layout."""
+    kc, kp = jax.random.split(key)
+    counts = np.asarray(jax.random.randint(kc, (n,), 0, 5), np.int32)
+    offsets = np.cumsum(counts) - counts
+    total = int(counts.sum())
+    assert total <= capacity
+    # place the `total` pairs at distinct random slots of the padded array
+    p_pad = capacity + chunk
+    slots = np.asarray(
+        jax.random.permutation(kp, p_pad)[:total], np.int32)
+    pair_gauss = np.full((p_pad,), n, np.int32)
+    pair_pos = np.full((capacity,), p_pad, np.int32)
+    p = 0
+    for g in range(n):
+        for _ in range(counts[g]):
+            pair_gauss[slots[p]] = g
+            pair_pos[p] = slots[p]
+            p += 1
+    return (jnp.asarray(pair_gauss), jnp.asarray(pair_pos),
+            jnp.asarray(offsets, jnp.int32), jnp.asarray(counts))
+
+
+def test_custom_vjp_matches_autodiff_gather():
+    n, capacity, chunk, c = 37, 160, 32, 6
+    pair_gauss, pair_pos, offsets, counts = _random_layout(
+        jax.random.key(1), n, capacity, chunk, c)
+    rows = jax.random.normal(jax.random.key(2), (n + 1, c))
+    p_pad = pair_gauss.shape[0]
+    bar = jax.random.normal(jax.random.key(3), (p_pad // chunk, c, chunk))
+
+    def custom(r):
+        out = chunked_gather(chunk, r, pair_gauss, pair_pos, offsets, counts)
+        return jnp.sum(out * bar)
+
+    def plain(r):
+        out = (r[pair_gauss].reshape(p_pad // chunk, chunk, c)
+               .transpose(0, 2, 1))
+        return jnp.sum(out * bar)
+
+    np.testing.assert_allclose(float(custom(rows)), float(plain(rows)),
+                               rtol=1e-5)
+    g_custom = jax.grad(custom)(rows)
+    g_plain = jax.grad(plain)(rows)
+    # dummy row N: the plain gather accumulates padding cotangents there,
+    # the custom path leaves it zero by design -- compare real rows only
+    np.testing.assert_allclose(np.asarray(g_custom[:n]),
+                               np.asarray(g_plain[:n]), rtol=1e-4, atol=1e-5)
+    assert float(jnp.abs(g_custom[n]).max()) == 0.0
+
+
+def test_binning_grads_match_brute_force():
+    """End-to-end: tiled-pipeline grads (through the new reduction) vs the
+    independent brute-force renderer's autodiff."""
+    from gvrt_tpu.render.reference import render_image
+    from gvrt_tpu.render.tiled import TiledRenderer
+
+    cfg = g3.DEFAULT_CONFIG.replace(tile_size=8, chunk_size=128)
+    model = g3.random_gaussians(jax.random.key(5), 40, extent=0.7)
+    model.means = model.means.at[:, 2].add(-3.0)
+    cam = g3.Camera.from_fovy(16, 16, 60.0, np.eye(4))
+    target = jnp.zeros((16, 16, 3)) + 0.3
+
+    r = TiledRenderer(16, 16, cfg, impl="scan")
+    r.plan(model, [cam])
+
+    def loss_tiled(m):
+        return jnp.mean((r.render(m, cam)["rgb"] - target) ** 2)
+
+    def loss_brute(m):
+        return jnp.mean((render_image(m, cam, cfg)["rgb"] - target) ** 2)
+
+    gt = jax.grad(loss_tiled)(model)
+    gb = jax.grad(loss_brute)(model)
+    for name in ("means", "scales_log", "quats", "opacity_logit", "sh_dc"):
+        a, b = np.asarray(getattr(gt, name)), np.asarray(getattr(gb, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
+                                   err_msg=name)
