@@ -174,15 +174,27 @@ def cmd_train(args):
     trainer = Trainer(args.width, args.height, DEFAULT_CONFIG, tc, capacity,
                       mesh=mesh, impl=args.impl)
     state = trainer.init(model)
+    start_step = 0
+    if args.ckpt_dir:
+        from .train import restore_checkpoint, save_checkpoint
+        state, restored = restore_checkpoint(args.ckpt_dir, state)
+        if restored is not None:
+            start_step = restored + 1
+            print(f"resumed from checkpoint step {restored}")
     bsz = args.batch
     rng = np.random.default_rng(0)
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         idx = rng.choice(len(cams), size=bsz, replace=False)
         batch = camera_batch([cams[i] for i in idx], DEFAULT_CONFIG)
         tgt = jnp.stack([jnp.asarray(targets[i]) for i in idx])
         state, loss = trainer.step(state, batch, tgt)
         if step % max(1, args.steps // 20) == 0:
             print(f"step {step}: loss {float(loss):.6f}")
+        if args.ckpt_dir and args.ckpt_every and (step + 1) % args.ckpt_every == 0:
+            save_checkpoint(args.ckpt_dir, state, step)
+    if args.ckpt_dir:
+        from .train import save_checkpoint
+        save_checkpoint(args.ckpt_dir, state, args.steps - 1)
     state[0].to_ply(args.out)
     print(f"saved fine-tuned model to {args.out}")
 
@@ -285,6 +297,9 @@ def main(argv=None):
                     help="shard camera batch over N devices")
     pt.add_argument("--frames", type=int, default=16)
     pt.add_argument("--out", default="finetuned.ply")
+    pt.add_argument("--ckpt-dir", help="checkpoint/resume directory (orbax)")
+    pt.add_argument("--ckpt-every", type=int, default=50,
+                    help="save a checkpoint every N steps")
     pt.set_defaults(fn=cmd_train)
 
     ph = sub.add_parser("hybrid",

@@ -79,8 +79,11 @@ class RenderConfig:
     # ---- TPU execution parameters (no reference equivalent: new design) ----
     #: Pixels per side of an image tile for the binning + fused-forward path.
     tile_size: int = 16
-    #: Gaussians processed per VMEM chunk inside the fused kernel.
-    chunk_size: int = 256
+    #: Gaussians processed per VMEM chunk inside the fused kernel.  Swept on
+    #: v5e at 1080p/300k gaussians: 64 beats 128/256 (smaller per-tile padding
+    #: waste and a cheaper in-chunk prefix matmul dominate the extra grid
+    #: steps).
+    chunk_size: int = 64
     #: Ray-chunk size for the brute-force (validation) renderer.
     ray_chunk: int = 4096
 

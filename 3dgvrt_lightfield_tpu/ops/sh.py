@@ -12,19 +12,13 @@ import jax.numpy as jnp
 from ..config import SH_C0, SH_C1, SH_C2, SH_C3
 
 
-def sh_basis(direction: jnp.ndarray, degree: int) -> jnp.ndarray:
-    """SH basis values for a world-space view direction.
+def sh_basis_components(x, y, z, degree: int):
+    """List of (degree+1)**2 SH basis values from direction components.
 
-    Args:
-      direction: (..., 3) unit view direction (the *ray* direction, not the
-        direction to the camera — see raygen.rgen:215 passing `rayDirection`).
-      degree: static SH degree in [0, 3].
-
-    Returns:
-      (..., (degree+1)**2) basis values matching the reference's signed basis.
+    Shared by `sh_basis` (ray-major, stacks on the last axis) and the
+    gaussian-major tile kernel (stacks rows); formulas match the reference's
+    signed basis (3dgs.glsl:34-49, gaussianfunctions.glsl:122-151).
     """
-    num = (degree + 1) ** 2
-    x, y, z = direction[..., 0], direction[..., 1], direction[..., 2]
     one = jnp.ones_like(x)
     basis = [SH_C0 * one]
     if degree > 0:
@@ -49,7 +43,23 @@ def sh_basis(direction: jnp.ndarray, degree: int) -> jnp.ndarray:
             SH_C3[5] * z * (xx - yy),
             SH_C3[6] * x * (xx - 3.0 * yy),
         ]
-    out = jnp.stack(basis, axis=-1)
+    return basis
+
+
+def sh_basis(direction: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """SH basis values for a world-space view direction.
+
+    Args:
+      direction: (..., 3) unit view direction (the *ray* direction, not the
+        direction to the camera — see raygen.rgen:215 passing `rayDirection`).
+      degree: static SH degree in [0, 3].
+
+    Returns:
+      (..., (degree+1)**2) basis values matching the reference's signed basis.
+    """
+    num = (degree + 1) ** 2
+    x, y, z = direction[..., 0], direction[..., 1], direction[..., 2]
+    out = jnp.stack(sh_basis_components(x, y, z, degree), axis=-1)
     assert out.shape[-1] == num
     return out
 

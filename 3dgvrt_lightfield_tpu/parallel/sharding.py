@@ -45,7 +45,7 @@ class CameraBatch(NamedTuple):
     """Stacked per-camera render inputs; leading axis = camera (shardable)."""
     w2c: jnp.ndarray    # (B, 4, 4)
     proj: jnp.ndarray   # (B, 4, 4)
-    rays: jnp.ndarray   # (B, num_tiles, R, 8)
+    rays: jnp.ndarray   # (B, num_tiles, 8, R)
 
 
 def camera_batch(cameras: Sequence, cfg: RenderConfig) -> CameraBatch:

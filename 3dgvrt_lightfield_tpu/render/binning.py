@@ -13,6 +13,18 @@ cores, so instead of building proxy icosahedra and a BVH we
      scalar-prefetched `chunk_tile` indirection (the id-indirection idea of
      SplitBLAS.cpp:306-341).
 
+Random-access discipline (measured on v5e: every gathered/scattered ROW costs
+~13ns regardless of width, so cost == number of random rows, not bytes):
+  * the per-pair expansion reads ONE packed 8-column int32 row per pair
+    (tx0/ty0/rect_w/offset/depth_q fused) instead of five scalar gathers,
+  * per-tile counts come from `searchsorted` differences on the sorted tile
+    ids — num_tiles+1 queries, not a capacity-sized scatter-add,
+  * capacity-sized index work stays as single scatters (padded-slot
+    placement) or sorts; searchsorted is never used with capacity-many
+    queries (log-n rounds would multiply the row count),
+  * the gradient transpose of the final parameter gather is a segmented
+    reduction (param_grads.chunked_gather), no scatter-add anywhere.
+
 Everything is jit-compatible with static capacities; `plan_capacity` measures
 a scene+camera once (uncompiled NumPy) to pick them.
 """
@@ -36,10 +48,7 @@ from .param_grads import chunked_gather
 
 class BinnedScene(NamedTuple):
     """Chunked scene data consumed by the fused forward kernel."""
-    geom: jnp.ndarray        # (num_chunks, 16, G) packed geometry
-    sh_r: jnp.ndarray        # (num_chunks, 16, G)
-    sh_g: jnp.ndarray        # (num_chunks, 16, G)
-    sh_b: jnp.ndarray        # (num_chunks, 16, G)
+    chunks: jnp.ndarray      # (num_chunks, G, 64) fused params (tile_math)
     chunk_tile: jnp.ndarray  # (num_chunks,) int32 tile id (num_tiles = dummy)
     chunk_first: jnp.ndarray # (num_chunks,) int32 1 if first chunk of its tile
     tile_counts: jnp.ndarray # (num_tiles,) int32 pairs per tile (un-padded)
@@ -62,39 +71,57 @@ def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
                           cfg.adaptive_kernel_clamping)
     lo, hi = gaussian_world_aabb(act.means, act.scales, act.rotmats, radius)
 
-    # 8 AABB corners -> camera space
-    sel = jnp.asarray([[x, y, z] for x in (0, 1) for y in (0, 1)
-                       for z in (0, 1)], jnp.float32)          # (8, 3)
-    corners = lo[:, None, :] * (1 - sel) + hi[:, None, :] * sel  # (N, 8, 3)
-    cam = jnp.einsum("nkj,ij->nki", corners, w2c[:3, :3]) + w2c[:3, 3]
-    z = cam[..., 2]
-    behind = z > -cfg.near                                  # camera looks -z
-    all_behind = jnp.all(behind, axis=1)
-    any_behind = jnp.any(behind, axis=1)
+    # closed-form screen bounds of the world AABB (no (N, 8, 3) corner
+    # tensors): camera-space center +- |R| * half-extent is the cam AABB;
+    # since clip = diag(P00, P11) and w = -z (perspective_vulkan /
+    # raygen.rgen:119-121), each ndc extreme is attained at one of the four
+    # (coord, z) corner combinations — 4 products + min/max per axis.
+    c = (lo + hi) * 0.5
+    e = (hi - lo) * 0.5
+    cc = c @ w2c[:3, :3].T + w2c[:3, 3]                   # (N, 3)
+    ec = e @ jnp.abs(w2c[:3, :3]).T                       # (N, 3)
+    z_lo, z_hi = cc[:, 2] - ec[:, 2], cc[:, 2] + ec[:, 2]
+    all_behind = z_lo > -cfg.near                         # camera looks -z
+    any_behind = z_hi > -cfg.near
 
-    clip = jnp.einsum("nkj,ij->nki", cam, proj[:3, :3]) + proj[:3, 3]
-    wc = -z  # proj[3] = (0,0,-1,0)
-    ndc = clip[..., :2] / jnp.maximum(wc, 1e-9)[..., None]
-    px = (ndc * 0.5 + 0.5) * jnp.asarray([width, height], jnp.float32)
+    # w = -z over the in-front part of the box, clamped at the near plane
+    w_lo = jnp.maximum(-z_hi, cfg.near)
+    w_hi = jnp.maximum(-z_lo, cfg.near)
+    inv_wl, inv_wh = 1.0 / w_lo, 1.0 / w_hi
 
-    big = jnp.asarray([width * 4.0, height * 4.0], jnp.float32)
-    px_lo = jnp.min(jnp.where(behind[..., None], big, px), axis=1)
-    px_hi = jnp.max(jnp.where(behind[..., None], -big, px), axis=1)
+    def ndc_range(ax_lo, ax_hi, p_diag):
+        cands = (p_diag * ax_lo * inv_wl, p_diag * ax_lo * inv_wh,
+                 p_diag * ax_hi * inv_wl, p_diag * ax_hi * inv_wh)
+        return (jnp.minimum(jnp.minimum(cands[0], cands[1]),
+                            jnp.minimum(cands[2], cands[3])),
+                jnp.maximum(jnp.maximum(cands[0], cands[1]),
+                            jnp.maximum(cands[2], cands[3])))
+
+    ndc_x0, ndc_x1 = ndc_range(cc[:, 0] - ec[:, 0], cc[:, 0] + ec[:, 0],
+                               proj[0, 0])
+    ndc_y0, ndc_y1 = ndc_range(cc[:, 1] - ec[:, 1], cc[:, 1] + ec[:, 1],
+                               proj[1, 1])
+    px_x0 = (ndc_x0 * 0.5 + 0.5) * width
+    px_x1 = (ndc_x1 * 0.5 + 0.5) * width
+    px_y0 = (ndc_y0 * 0.5 + 0.5) * height
+    px_y1 = (ndc_y1 * 0.5 + 0.5) * height
+
     # partially-behind gaussians wrap around the image plane: take full screen
-    px_lo = jnp.where(any_behind[:, None], jnp.zeros(2, jnp.float32), px_lo)
-    px_hi = jnp.where(any_behind[:, None],
-                      jnp.asarray([width, height], jnp.float32), px_hi)
+    px_x0 = jnp.where(any_behind, 0.0, px_x0)
+    px_y0 = jnp.where(any_behind, 0.0, px_y0)
+    px_x1 = jnp.where(any_behind, float(width), px_x1)
+    px_y1 = jnp.where(any_behind, float(height), px_y1)
 
-    off_screen = ((px_hi[:, 0] < 0) | (px_hi[:, 1] < 0)
-                  | (px_lo[:, 0] >= width) | (px_lo[:, 1] >= height))
+    off_screen = ((px_x1 < 0) | (px_y1 < 0)
+                  | (px_x0 >= width) | (px_y0 >= height))
     # density <= alpha_min can never pass the alpha test (alpha <= density)
     dead = act.densities <= cfg.alpha_min
     valid = ~(all_behind | off_screen | dead)
 
-    tx0 = jnp.clip(jnp.floor(px_lo[:, 0] / ts).astype(jnp.int32), 0, nx - 1)
-    ty0 = jnp.clip(jnp.floor(px_lo[:, 1] / ts).astype(jnp.int32), 0, ny - 1)
-    tx1 = jnp.clip(jnp.floor(px_hi[:, 0] / ts).astype(jnp.int32), 0, nx - 1)
-    ty1 = jnp.clip(jnp.floor(px_hi[:, 1] / ts).astype(jnp.int32), 0, ny - 1)
+    tx0 = jnp.clip(jnp.floor(px_x0 / ts).astype(jnp.int32), 0, nx - 1)
+    ty0 = jnp.clip(jnp.floor(px_y0 / ts).astype(jnp.int32), 0, ny - 1)
+    tx1 = jnp.clip(jnp.floor(px_x1 / ts).astype(jnp.int32), 0, nx - 1)
+    ty1 = jnp.clip(jnp.floor(px_y1 / ts).astype(jnp.int32), 0, ny - 1)
 
     depth = -(act.means @ w2c[2, :3] + w2c[2, 3])
     return (tx0, ty0, tx1, ty1), valid, depth, (nx, ny)
@@ -126,21 +153,7 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     total = offsets[-1] + counts[-1]
     overflow = jnp.maximum(total - capacity, 0)
 
-    # pair p -> gaussian id via scatter + running max
-    pair_g = _scatter_cummax_fill(capacity, offsets,
-                                  jnp.arange(n, dtype=jnp.int32),
-                                  valid & (counts > 0))
-    p_idx = jnp.arange(capacity, dtype=jnp.int32)
-    in_range = p_idx < total
-    j = p_idx - offsets[pair_g]
-    tile_x = tx0[pair_g] + j % rect_w[pair_g]
-    tile_y = ty0[pair_g] + j // rect_w[pair_g]
-    tile_id = jnp.where(in_range, tile_y * nx + tile_x, num_tiles)
-
-    # sort by (tile, depth) with one packed int32 key: tile in the high bits,
-    # scene-normalized quantized depth in the low bits (cheaper on TPU than a
-    # two-key three-operand sort; depth quantization only reorders hits whose
-    # depths differ by < range/2^depth_bits, which is visually irrelevant)
+    # depth quantization params (per-gaussian, BEFORE pair expansion)
     tile_bits = max(1, (num_tiles + 1).bit_length())
     # cap at 24 bits: beyond the f32 mantissa extra depth levels are noise,
     # and the int-domain clamp below must be exact
@@ -149,32 +162,47 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     dmin = jnp.nanmin(valid_depth)
     dmax = jnp.nanmax(valid_depth)
     dscale = (2.0 ** depth_bits - 2.0) / jnp.maximum(dmax - dmin, 1e-9)
-    pair_q = jnp.clip(
-        (jnp.maximum(depth[pair_g] - dmin, 0.0) * dscale).astype(jnp.int32),
+    depth_q = jnp.clip(
+        (jnp.maximum(depth - dmin, 0.0) * dscale).astype(jnp.int32),
         0, 2 ** depth_bits - 1)
-    key = (tile_id << depth_bits) | jnp.where(in_range, pair_q, 0)
+
+    # pair p -> gaussian id via scatter of range starts + running max
+    pair_g = _scatter_cummax_fill(capacity, offsets,
+                                  jnp.arange(n, dtype=jnp.int32),
+                                  valid & (counts > 0))
+    # ONE packed 8-column gather for the whole expansion (row cost rule)
+    exp_tab = jnp.stack([tx0, ty0, rect_w, offsets, depth_q,
+                         jnp.zeros_like(tx0), jnp.zeros_like(tx0),
+                         jnp.zeros_like(tx0)], axis=1)        # (N, 8) int32
+    exp = exp_tab[pair_g]                                     # (capacity, 8)
+    p_idx = jnp.arange(capacity, dtype=jnp.int32)
+    in_range = p_idx < total
+    j = p_idx - exp[:, 3]
+    tile_x = exp[:, 0] + j % exp[:, 2]
+    tile_y = exp[:, 1] + j // exp[:, 2]
+    tile_id = jnp.where(in_range, tile_y * nx + tile_x, num_tiles)
+
+    # sort by (tile, depth) with one packed int32 key: tile in the high bits,
+    # scene-normalized quantized depth in the low bits (cheaper on TPU than a
+    # two-key three-operand sort; depth quantization only reorders hits whose
+    # depths differ by < range/2^depth_bits, which is visually irrelevant)
+    key = (tile_id << depth_bits) | jnp.where(in_range, exp[:, 4], 0)
     key_sorted, g_sorted, p_sorted = jax.lax.sort(
         (key, pair_g, p_idx), num_keys=1)
     tile_sorted = key_sorted >> depth_bits
 
-    # per-tile counts and padded chunk-aligned starts
-    tile_counts = jnp.zeros((num_tiles + 1,), jnp.int32).at[tile_sorted].add(
-        jnp.where(tile_sorted < num_tiles, 1, 0))
-    starts = jnp.cumsum(tile_counts) - tile_counts
+    # per-tile counts from the sorted keys: searchsorted differences — only
+    # num_tiles+1 binary-search queries, not a capacity-sized scatter-add
+    tile_edges = jnp.searchsorted(
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left",
+        method="scan_unrolled").astype(jnp.int32)
+    tile_counts = jnp.diff(
+        jnp.concatenate([tile_edges, jnp.asarray([capacity], jnp.int32)]))
+    starts = tile_edges
     padded_counts = ((tile_counts + g - 1) // g) * g
-    padded_starts = jnp.cumsum(padded_counts) - padded_counts
+    padded_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts)])[:-1]
     padded_total = padded_starts[num_tiles]  # excludes dummy tile
-
-    rank = jnp.arange(capacity, dtype=jnp.int32)
-    dest = padded_starts[tile_sorted] + (rank - starts[tile_sorted])
-    keep = tile_sorted < num_tiles
-    pair_gauss = jnp.full((capacity_padded,), n, jnp.int32)
-    pair_gauss = pair_gauss.at[jnp.where(keep, dest, capacity_padded)].set(
-        g_sorted, mode="drop")
-    # invert the sort permutation (second sort, not a scatter): pre-sort
-    # pair p -> its padded chunk slot; the gradient reduction walks this
-    _, pair_pos = jax.lax.sort_key_val(
-        p_sorted, jnp.where(keep, dest, capacity_padded))
 
     # chunk -> tile mapping (+ trailing dummy chunks)
     num_chunks = capacity_padded // g
@@ -190,7 +218,20 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
         jnp.ones((1,), jnp.int32),
         (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)])
 
-    # gather packed per-pair data (dummy row N has density 0 / identity frame)
+    # sorted pair -> padded slot, then ONE capacity-row scatter places ids
+    tile_sc = jnp.minimum(tile_sorted, num_tiles)
+    rank_s = jnp.arange(capacity, dtype=jnp.int32) - starts[tile_sc]
+    keep = tile_sorted < num_tiles
+    dest = padded_starts[tile_sc] + rank_s
+    pair_gauss = jnp.full((capacity_padded,), n, jnp.int32)
+    pair_gauss = pair_gauss.at[jnp.where(keep, dest, capacity_padded)].set(
+        g_sorted, mode="drop")
+    # pre-sort pair p -> padded slot (for the gradient reduction): invert the
+    # sort permutation with a second sort (cheaper than a capacity scatter)
+    _, pair_pos = jax.lax.sort_key_val(
+        p_sorted, jnp.where(keep, dest, capacity_padded))
+
+    # gather fused per-pair data (dummy row N has density 0 / identity frame)
     eye = jnp.tile(jnp.eye(3, dtype=jnp.float32).reshape(1, 9), (1, 1))
     geom_rows = jnp.concatenate([
         jnp.concatenate([act.means, jnp.zeros((1, 3))], 0),
@@ -202,21 +243,19 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
                               jnp.zeros((1, 16, 3))], axis=0)  # (N+1, 16, 3)
 
     # one fused (N+1, 64) gather whose custom VJP is the scatter-free
-    # segmented reduction (param_grads.chunked_gather)
+    # segmented reduction (param_grads.chunked_gather); gaussian-major
+    # output (num_chunks, G, 64) needs no transpose
     rows64 = jnp.concatenate(
         [geom_rows, sh_all[..., 0], sh_all[..., 1], sh_all[..., 2]], axis=1)
     chunks64 = chunked_gather(g, rows64, pair_gauss, pair_pos, offsets,
                               counts)
 
     return BinnedScene(
-        geom=chunks64[:, 0:16, :],
-        sh_r=chunks64[:, 16:32, :],
-        sh_g=chunks64[:, 32:48, :],
-        sh_b=chunks64[:, 48:64, :],
+        chunks=chunks64,
         chunk_tile=chunk_tile,
         chunk_first=chunk_first,
         tile_counts=tile_counts[:num_tiles],
-        num_pairs=total,
+        num_pairs=jnp.minimum(total, capacity),
         overflow=overflow,
         pair_gauss=pair_gauss,
         pair_pos=pair_pos,
@@ -240,7 +279,7 @@ def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
 
 
 def tile_rays(camera, cfg: RenderConfig, aabb=None):
-    """Per-pixel rays + AABB clip range, tiled to (num_tiles, R, 8)."""
+    """Per-pixel rays + AABB clip range, tiled to (num_tiles, 8, R)."""
     ts = cfg.tile_size
     o, d = camera.rays()
     h, w = o.shape[:2]
@@ -250,12 +289,12 @@ def tile_rays(camera, cfg: RenderConfig, aabb=None):
     rays = jnp.concatenate([jnp.asarray(o), jnp.asarray(d),
                             tmin[..., None], tmax[..., None]], axis=-1)
     tiled = rays.reshape(h // ts, ts, w // ts, ts, 8)
-    return tiled.transpose(0, 2, 1, 3, 4).reshape(-1, ts * ts, 8)
+    return tiled.transpose(0, 2, 4, 1, 3).reshape(-1, 8, ts * ts)
 
 
 def untile(img_tiled: jnp.ndarray, width: int, height: int, ts: int):
-    """(num_tiles, R, C) -> (H, W, C)."""
+    """(num_tiles, C, R) -> (H, W, C)."""
     ny, nx = height // ts, width // ts
-    c = img_tiled.shape[-1]
-    return (img_tiled.reshape(ny, nx, ts, ts, c)
-            .transpose(0, 2, 1, 3, 4).reshape(height, width, c))
+    c = img_tiled.shape[1]
+    return (img_tiled.reshape(ny, nx, c, ts, ts)
+            .transpose(0, 3, 1, 4, 2).reshape(height, width, c))

@@ -27,8 +27,8 @@ from .tile_math import ACC_T, chunk_update
 def _background_fix(acc, tile_counts):
     """Tiles that received no chunk keep undefined memory: reset to sky."""
     empty = tile_counts == 0
-    background = jnp.zeros((8,), jnp.float32).at[ACC_T].set(1.0)
-    return jnp.where(empty[:, None, None], background, acc)
+    background = jnp.zeros((8, 1), jnp.float32).at[ACC_T, :].set(1.0)
+    return jnp.where(empty[:, None, None], background[None], acc)
 
 
 def forward_tiles(binned: BinnedScene, rays_tiled: jnp.ndarray,
@@ -37,14 +37,13 @@ def forward_tiles(binned: BinnedScene, rays_tiled: jnp.ndarray,
 
     Args:
       binned: output of binning.bin_gaussians.
-      rays_tiled: (num_tiles, R, 8) from binning.tile_rays.
+      rays_tiled: (num_tiles, 8, R) from binning.tile_rays.
       interpret: run in Pallas interpreter mode (CPU testing).
 
-    Returns (num_tiles, R, 8) accumulators (rgb, depth, T, hits).
+    Returns (num_tiles, 8, R) accumulators (rgb, depth, T, hits rows).
     """
     num_tiles = rays_tiled.shape[0]
-    acc = render_tiles_ad(cfg, interpret, binned.geom, binned.sh_r,
-                          binned.sh_g, binned.sh_b, rays_tiled,
+    acc = render_tiles_ad(cfg, interpret, binned.chunks, rays_tiled,
                           binned.chunk_tile, binned.chunk_first)
     return _background_fix(acc[:num_tiles], binned.tile_counts)
 
@@ -57,26 +56,23 @@ def forward_tiles_reference(binned: BinnedScene, rays_tiled: jnp.ndarray,
     float associativity, and differentiable by plain autodiff — the ground
     truth for the hand-written backward kernel.
     """
-    num_tiles, r, _ = rays_tiled.shape
-    background = jnp.zeros((r, 8), jnp.float32).at[:, ACC_T].set(1.0)
+    num_tiles, _, r = rays_tiled.shape
+    background = jnp.zeros((8, r), jnp.float32).at[ACC_T, :].set(1.0)
     acc0 = jnp.tile(background[None], (num_tiles + 1, 1, 1))
     # inherit device-varying type under shard_map (scan carry must match body)
     acc0 = acc0 + 0.0 * rays_tiled[0, 0, 0]
 
     def step(acc, chunk):
-        geom, sh_r, sh_g, sh_b, tile = chunk
+        data, tile = chunk
         tile_acc = acc[tile]
         alive = ((tile < num_tiles)
-                 & (jnp.max(tile_acc[:, ACC_T]) > cfg.min_transmittance))
+                 & (jnp.max(tile_acc[ACC_T, :]) > cfg.min_transmittance))
         new = jax.lax.cond(
             alive,
             lambda: chunk_update(rays_tiled[jnp.minimum(tile, num_tiles - 1)],
-                                 geom, sh_r, sh_g, sh_b, tile_acc, cfg),
+                                 data, tile_acc, cfg),
             lambda: tile_acc)
         return acc.at[tile].set(new), None
 
-    acc, _ = jax.lax.scan(
-        step, acc0,
-        (binned.geom, binned.sh_r, binned.sh_g, binned.sh_b,
-         binned.chunk_tile))
+    acc, _ = jax.lax.scan(step, acc0, (binned.chunks, binned.chunk_tile))
     return _background_fix(acc[:num_tiles], binned.tile_counts)

@@ -45,10 +45,11 @@ def blocked_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
 def chunked_gather(chunk_size: int, rows: jnp.ndarray, pair_gauss: jnp.ndarray,
                    pair_pos: jnp.ndarray, offsets: jnp.ndarray,
                    counts: jnp.ndarray) -> jnp.ndarray:
-    """rows (N+1, C) -> (num_chunks, C, G) per-chunk parameter blocks.
+    """rows (N+1, C) -> (num_chunks, G, C) per-chunk parameter blocks.
 
-    Forward is exactly `rows[pair_gauss]` reshaped for the kernel; backward
-    is the scatter-free segmented reduction described in the module doc.
+    Forward is exactly `rows[pair_gauss]` reshaped for the kernel — the
+    gaussian-major layout means no transpose anywhere; backward is the
+    scatter-free segmented reduction described in the module doc.
     `pair_gauss` maps padded slot -> row id (N = dummy); `pair_pos` maps
     pre-sort pair -> padded slot (P_pad = dropped); `offsets`/`counts` give
     each Gaussian's contiguous pre-sort pair range.
@@ -59,9 +60,7 @@ def chunked_gather(chunk_size: int, rows: jnp.ndarray, pair_gauss: jnp.ndarray,
 def _gather_impl(chunk_size, rows, pair_gauss):
     p_pad = pair_gauss.shape[0]
     c = rows.shape[1]
-    return (rows[pair_gauss]
-            .reshape(p_pad // chunk_size, chunk_size, c)
-            .transpose(0, 2, 1))
+    return rows[pair_gauss].reshape(p_pad // chunk_size, chunk_size, c)
 
 
 def _gather_fwd(chunk_size, rows, pair_gauss, pair_pos, offsets, counts):
@@ -71,10 +70,10 @@ def _gather_fwd(chunk_size, rows, pair_gauss, pair_pos, offsets, counts):
 
 def _gather_bwd(chunk_size, res, bar):
     n_rows, pair_gauss, pair_pos, offsets, counts = res
-    num_chunks, c, g = bar.shape
+    num_chunks, g, c = bar.shape
     capacity = pair_pos.shape[0]
 
-    bar_flat = bar.transpose(0, 2, 1).reshape(num_chunks * g, c)
+    bar_flat = bar.reshape(num_chunks * g, c)
     # one trailing zero row: dropped pairs carry pair_pos == P_pad
     bar_flat = jnp.concatenate([bar_flat, jnp.zeros((1, c), bar.dtype)])
     bar_pre = bar_flat[pair_pos]                        # (capacity, C)

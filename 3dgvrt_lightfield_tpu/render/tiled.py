@@ -98,8 +98,11 @@ class TiledRenderer:
         if key not in self._ray_cache:
             if len(self._ray_cache) > 64:
                 self._ray_cache.clear()
-            self._ray_cache[key] = jax.device_put(
-                tile_rays(camera, self.cfg))
+            rays = tile_rays(camera, self.cfg)
+            from jax._src.core import trace_state_clean
+            if not trace_state_clean():
+                return rays  # traced call: don't cache trace-local values
+            self._ray_cache[key] = jax.device_put(rays)
         return self._ray_cache[key]
 
     def render(self, model: GaussianModel, camera):

@@ -52,15 +52,14 @@ def test_custom_vjp_matches_autodiff_gather():
         jax.random.key(1), n, capacity, chunk, c)
     rows = jax.random.normal(jax.random.key(2), (n + 1, c))
     p_pad = pair_gauss.shape[0]
-    bar = jax.random.normal(jax.random.key(3), (p_pad // chunk, c, chunk))
+    bar = jax.random.normal(jax.random.key(3), (p_pad // chunk, chunk, c))
 
     def custom(r):
         out = chunked_gather(chunk, r, pair_gauss, pair_pos, offsets, counts)
         return jnp.sum(out * bar)
 
     def plain(r):
-        out = (r[pair_gauss].reshape(p_pad // chunk, chunk, c)
-               .transpose(0, 2, 1))
+        out = r[pair_gauss].reshape(p_pad // chunk, chunk, c)
         return jnp.sum(out * bar)
 
     np.testing.assert_allclose(float(custom(rows)), float(plain(rows)),
