@@ -1,5 +1,6 @@
 """Multi-chip / multi-host sharding (new capability; none in the reference)."""
 
-from . import sharding
+from . import distributed, sharding
+from .distributed import data_parallel_mesh, init_distributed
 from .sharding import (CameraBatch, camera_batch, make_mesh,
                        render_batch_sharded, replicate_model)

@@ -52,10 +52,12 @@ class BinnedScene(NamedTuple):
     chunk_tile: jnp.ndarray  # (num_chunks,) int32 tile id (num_tiles = dummy)
     chunk_first: jnp.ndarray # (num_chunks,) int32 1 if first chunk of its tile
     tile_counts: jnp.ndarray # (num_tiles,) int32 pairs per tile (un-padded)
-    num_pairs: jnp.ndarray   # () int32 total pairs before padding
-    overflow: jnp.ndarray    # () int32 pairs dropped due to capacity
+    num_pairs: jnp.ndarray   # () int32 surviving pairs (post fine-cull)
+    overflow: jnp.ndarray    # () int32 rect pairs dropped (capacity) +
+                             #    padded slots dropped (capacity_padded)
     pair_gauss: jnp.ndarray  # (capacity_padded,) int32 gaussian id per slot (N = pad)
-    pair_pos: jnp.ndarray    # (capacity,) int32 pre-sort pair -> padded slot
+    pair_sorted: jnp.ndarray # (capacity,) int32 sorted pair -> pre-sort pair
+    pair_dest: jnp.ndarray   # (capacity,) int32 sorted pair -> padded slot
     gauss_offsets: jnp.ndarray  # (N,) int32 pre-sort pair range start
     gauss_counts: jnp.ndarray   # (N,) int32 pre-sort pair range length
 
@@ -80,6 +82,10 @@ def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
     e = (hi - lo) * 0.5
     cc = c @ w2c[:3, :3].T + w2c[:3, 3]                   # (N, 3)
     ec = e @ jnp.abs(w2c[:3, :3]).T                       # (N, 3)
+    # bounding sphere of the iso-response ellipsoid (for per-pair fine cull):
+    # center = mean, radius = kernel radius x largest semi-axis
+    cs = act.means @ w2c[:3, :3].T + w2c[:3, 3]           # (N, 3) cam space
+    r_s = radius * jnp.max(act.scales, axis=1)            # (N,)
     z_lo, z_hi = cc[:, 2] - ec[:, 2], cc[:, 2] + ec[:, 2]
     all_behind = z_lo > -cfg.near                         # camera looks -z
     any_behind = z_hi > -cfg.near
@@ -123,8 +129,8 @@ def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
     tx1 = jnp.clip(jnp.floor(px_x1 / ts).astype(jnp.int32), 0, nx - 1)
     ty1 = jnp.clip(jnp.floor(px_y1 / ts).astype(jnp.int32), 0, ny - 1)
 
-    depth = -(act.means @ w2c[2, :3] + w2c[2, 3])
-    return (tx0, ty0, tx1, ty1), valid, depth, (nx, ny)
+    depth = -cs[:, 2]
+    return (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, r_s
 
 
 def _scatter_cummax_fill(capacity: int, offsets, values, valid):
@@ -135,6 +141,33 @@ def _scatter_cummax_fill(capacity: int, offsets, values, valid):
     return jax.lax.associative_scan(jnp.maximum, arr)
 
 
+def _pair_sphere_cull(tile_x, tile_y, csx, csy, csz, r, p00, p11,
+                      width, height, ts):
+    """Conservative sphere-vs-tile-frustum test per (tile, gaussian) pair.
+
+    The tile's frustum is the wedge of the four planes through the camera
+    origin along the tile's ndc edges; with a diagonal projection and w = -z,
+    the plane for ndc_x >= a is n=(P00, 0, a) (P00*cx + a*cz >= 0), and the
+    bounding sphere (center cs, radius r) of the iso-response ellipsoid
+    intersects the half-space iff n.c >= -r|n|.  Keeps every pair whose
+    ellipsoid could touch the tile; kills the rect corners the AABB
+    expansion over-covers (and nearly all tiles of the conservative
+    full-screen rects used for partially-behind gaussians).
+    """
+    fx, fy = 2.0 * ts / width, 2.0 * ts / height
+    a0 = fx * tile_x.astype(jnp.float32) - 1.0
+    a1 = a0 + fx
+    b0 = fy * tile_y.astype(jnp.float32) - 1.0
+    b1 = b0 + fy
+    lx = p00 * csx
+    ly = p11 * csy
+    keep = (lx + a0 * csz >= -r * jnp.sqrt(p00 * p00 + a0 * a0))
+    keep &= (lx + a1 * csz <= r * jnp.sqrt(p00 * p00 + a1 * a1))
+    keep &= (ly + b0 * csz >= -r * jnp.sqrt(p11 * p11 + b0 * b0))
+    keep &= (ly + b1 * csz <= r * jnp.sqrt(p11 * p11 + b1 * b1))
+    return keep
+
+
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "capacity",
                                    "capacity_padded"))
 def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
@@ -143,7 +176,7 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     """Build the chunked, depth-sorted per-tile Gaussian lists."""
     g = cfg.chunk_size
     n = act.means.shape[0]
-    (tx0, ty0, tx1, ty1), valid, depth, (nx, ny) = _tile_ranges(
+    (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, r_s = _tile_ranges(
         act, w2c, proj, width, height, cfg)
     num_tiles = nx * ny
 
@@ -170,23 +203,39 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     pair_g = _scatter_cummax_fill(capacity, offsets,
                                   jnp.arange(n, dtype=jnp.int32),
                                   valid & (counts > 0))
-    # ONE packed 8-column gather for the whole expansion (row cost rule)
-    exp_tab = jnp.stack([tx0, ty0, rect_w, offsets, depth_q,
-                         jnp.zeros_like(tx0), jnp.zeros_like(tx0),
-                         jnp.zeros_like(tx0)], axis=1)        # (N, 8) int32
-    exp = exp_tab[pair_g]                                     # (capacity, 8)
+    # ONE packed f32 gather for the whole expansion (the ~13ns row-cost
+    # rule).  Int columns are stored as exact f32 VALUES — never bitcast:
+    # TPU ops flush f32 denormals, which silently zeroes bitcast small ints.
+    # tx0/ty0/rect_w/depth_q are < 2^24 (f32-exact); offsets can exceed 2^24
+    # on big scenes, so they travel as two 12-bit-safe halves.
+    f32 = jnp.float32
+    off_hi = (offsets >> 12).astype(f32)
+    off_lo = (offsets & 0xFFF).astype(f32)
+    exp_tab = jnp.stack(
+        [tx0.astype(f32), ty0.astype(f32), rect_w.astype(f32),
+         off_hi, off_lo, depth_q.astype(f32),
+         cs[:, 0], cs[:, 1], cs[:, 2], r_s], axis=1)          # (N, 10)
+    exp = exp_tab[pair_g]                                     # (capacity, 10)
+    e_tx0 = exp[:, 0].astype(jnp.int32)
+    e_ty0 = exp[:, 1].astype(jnp.int32)
+    e_rw = exp[:, 2].astype(jnp.int32)
+    e_off = (exp[:, 3].astype(jnp.int32) << 12) | exp[:, 4].astype(jnp.int32)
+    e_dq = exp[:, 5].astype(jnp.int32)
     p_idx = jnp.arange(capacity, dtype=jnp.int32)
     in_range = p_idx < total
-    j = p_idx - exp[:, 3]
-    tile_x = exp[:, 0] + j % exp[:, 2]
-    tile_y = exp[:, 1] + j // exp[:, 2]
-    tile_id = jnp.where(in_range, tile_y * nx + tile_x, num_tiles)
+    j = p_idx - e_off
+    tile_x = e_tx0 + j % e_rw
+    tile_y = e_ty0 + j // e_rw
+    fine = _pair_sphere_cull(tile_x, tile_y, exp[:, 6], exp[:, 7], exp[:, 8],
+                             exp[:, 9], proj[0, 0], proj[1, 1],
+                             width, height, cfg.tile_size)
+    tile_id = jnp.where(in_range & fine, tile_y * nx + tile_x, num_tiles)
 
     # sort by (tile, depth) with one packed int32 key: tile in the high bits,
     # scene-normalized quantized depth in the low bits (cheaper on TPU than a
     # two-key three-operand sort; depth quantization only reorders hits whose
     # depths differ by < range/2^depth_bits, which is visually irrelevant)
-    key = (tile_id << depth_bits) | jnp.where(in_range, exp[:, 4], 0)
+    key = (tile_id << depth_bits) | jnp.where(in_range, e_dq, 0)
     key_sorted, g_sorted, p_sorted = jax.lax.sort(
         (key, pair_g, p_idx), num_keys=1)
     tile_sorted = key_sorted >> depth_bits
@@ -203,6 +252,7 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     padded_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts)])[:-1]
     padded_total = padded_starts[num_tiles]  # excludes dummy tile
+    overflow = overflow + jnp.maximum(padded_total - capacity_padded, 0)
 
     # chunk -> tile mapping (+ trailing dummy chunks)
     num_chunks = capacity_padded // g
@@ -224,12 +274,8 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     keep = tile_sorted < num_tiles
     dest = padded_starts[tile_sc] + rank_s
     pair_gauss = jnp.full((capacity_padded,), n, jnp.int32)
-    pair_gauss = pair_gauss.at[jnp.where(keep, dest, capacity_padded)].set(
-        g_sorted, mode="drop")
-    # pre-sort pair p -> padded slot (for the gradient reduction): invert the
-    # sort permutation with a second sort (cheaper than a capacity scatter)
-    _, pair_pos = jax.lax.sort_key_val(
-        p_sorted, jnp.where(keep, dest, capacity_padded))
+    dest_drop = jnp.where(keep, dest, capacity_padded)
+    pair_gauss = pair_gauss.at[dest_drop].set(g_sorted, mode="drop")
 
     # gather fused per-pair data (dummy row N has density 0 / identity frame)
     eye = jnp.tile(jnp.eye(3, dtype=jnp.float32).reshape(1, 9), (1, 1))
@@ -247,18 +293,19 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     # output (num_chunks, G, 64) needs no transpose
     rows64 = jnp.concatenate(
         [geom_rows, sh_all[..., 0], sh_all[..., 1], sh_all[..., 2]], axis=1)
-    chunks64 = chunked_gather(g, rows64, pair_gauss, pair_pos, offsets,
-                              counts)
+    chunks64 = chunked_gather(g, rows64, pair_gauss, p_sorted, dest_drop,
+                              offsets, counts)
 
     return BinnedScene(
         chunks=chunks64,
         chunk_tile=chunk_tile,
         chunk_first=chunk_first,
         tile_counts=tile_counts[:num_tiles],
-        num_pairs=jnp.minimum(total, capacity),
+        num_pairs=tile_edges[num_tiles],
         overflow=overflow,
         pair_gauss=pair_gauss,
-        pair_pos=pair_pos,
+        pair_sorted=p_sorted,
+        pair_dest=dest_drop,
         gauss_offsets=offsets,
         gauss_counts=counts,
     )
@@ -266,15 +313,40 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
 
 def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
                   cfg: RenderConfig, slack: float = 1.3):
-    """Measure pair counts once (host NumPy) to pick static capacities."""
-    (tx0, ty0, tx1, ty1), valid, _, (nx, ny) = jax.tree.map(
+    """Measure pair counts once (host NumPy) to pick static capacities.
+
+    `capacity` sizes the pre-cull expansion+sort arrays (rect pairs);
+    `capacity_padded` sizes the chunked kernel arrays and is planned from the
+    post-cull per-tile survivor counts (chunk-rounded, with slack for camera
+    motion), so the fine cull shrinks the gather and kernel grids too.
+    """
+    (tx0, ty0, tx1, ty1), valid, _, (nx, ny), cs, r_s = jax.tree.map(
         np.asarray, _tile_ranges(act, jnp.asarray(w2c), jnp.asarray(proj),
                                  width, height, cfg))
     counts = np.where(valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
     total = int(counts.sum())
     g = cfg.chunk_size
     capacity = max(g, int(math.ceil(total * slack / g)) * g)
-    capacity_padded = capacity + (nx * ny + 1) * g
+
+    # replicate the expansion + fine cull on host to count survivors per tile
+    rect_w = (tx1 - tx0 + 1)
+    pg = np.repeat(np.arange(counts.shape[0]), counts)
+    offs = np.cumsum(counts) - counts
+    j = np.arange(total) - np.repeat(offs, counts)
+    tile_x = tx0[pg] + j % rect_w[pg]
+    tile_y = ty0[pg] + j // rect_w[pg]
+    keep = np.asarray(_pair_sphere_cull(
+        tile_x, tile_y, cs[pg, 0], cs[pg, 1], cs[pg, 2], r_s[pg],
+        float(np.asarray(proj)[0, 0]), float(np.asarray(proj)[1, 1]),
+        width, height, cfg.tile_size))
+    tile_id = (tile_y * nx + tile_x)[keep]
+    per_tile = np.bincount(tile_id, minlength=nx * ny)
+    # slack per tile for camera motion + a pool of whole chunks for tiles
+    # that are empty now but covered later; runtime overflow is reported in
+    # BinnedScene.overflow_padded (callers re-plan on overflow)
+    padded = int((np.ceil(per_tile * slack / g) * g).sum())
+    padded += g * (1 + max(64, int(nx) * int(ny) // 16))
+    capacity_padded = int(min(padded, capacity + int(nx) * int(ny) * g + g))
     return capacity, capacity_padded
 
 

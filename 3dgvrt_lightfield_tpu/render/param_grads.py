@@ -43,15 +43,17 @@ def blocked_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def chunked_gather(chunk_size: int, rows: jnp.ndarray, pair_gauss: jnp.ndarray,
-                   pair_pos: jnp.ndarray, offsets: jnp.ndarray,
-                   counts: jnp.ndarray) -> jnp.ndarray:
+                   pair_sorted: jnp.ndarray, pair_dest: jnp.ndarray,
+                   offsets: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
     """rows (N+1, C) -> (num_chunks, G, C) per-chunk parameter blocks.
 
     Forward is exactly `rows[pair_gauss]` reshaped for the kernel — the
     gaussian-major layout means no transpose anywhere; backward is the
     scatter-free segmented reduction described in the module doc.
-    `pair_gauss` maps padded slot -> row id (N = dummy); `pair_pos` maps
-    pre-sort pair -> padded slot (P_pad = dropped); `offsets`/`counts` give
+    `pair_gauss` maps padded slot -> row id (N = dummy); `pair_sorted` /
+    `pair_dest` give, per SORTED pair, its pre-sort pair id and padded slot
+    (P_pad = dropped) — the backward inverts that permutation lazily (one
+    sort), so forward-only renders never pay for it; `offsets`/`counts` give
     each Gaussian's contiguous pre-sort pair range.
     """
     return _gather_impl(chunk_size, rows, pair_gauss)
@@ -63,15 +65,19 @@ def _gather_impl(chunk_size, rows, pair_gauss):
     return rows[pair_gauss].reshape(p_pad // chunk_size, chunk_size, c)
 
 
-def _gather_fwd(chunk_size, rows, pair_gauss, pair_pos, offsets, counts):
+def _gather_fwd(chunk_size, rows, pair_gauss, pair_sorted, pair_dest,
+                offsets, counts):
     out = _gather_impl(chunk_size, rows, pair_gauss)
-    return out, (rows.shape[0], pair_gauss, pair_pos, offsets, counts)
+    return out, (rows.shape[0], pair_gauss, pair_sorted, pair_dest, offsets,
+                 counts)
 
 
 def _gather_bwd(chunk_size, res, bar):
-    n_rows, pair_gauss, pair_pos, offsets, counts = res
+    n_rows, pair_gauss, pair_sorted, pair_dest, offsets, counts = res
     num_chunks, g, c = bar.shape
-    capacity = pair_pos.shape[0]
+    capacity = pair_sorted.shape[0]
+    # invert the sort permutation lazily: pre-sort pair p -> padded slot
+    _, pair_pos = jax.lax.sort_key_val(pair_sorted, pair_dest)
 
     bar_flat = bar.reshape(num_chunks * g, c)
     # one trailing zero row: dropped pairs carry pair_pos == P_pad
@@ -88,8 +94,8 @@ def _gather_bwd(chunk_size, res, bar):
                               grad_rows.dtype)])        # dummy row(s)
 
     int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return (grad_rows, int_zero(pair_gauss), int_zero(pair_pos),
-            int_zero(offsets), int_zero(counts))
+    return (grad_rows, int_zero(pair_gauss), int_zero(pair_sorted),
+            int_zero(pair_dest), int_zero(offsets), int_zero(counts))
 
 
 chunked_gather.defvjp(_gather_fwd, _gather_bwd)

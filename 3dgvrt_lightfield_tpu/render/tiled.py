@@ -82,15 +82,13 @@ class TiledRenderer:
     def plan(self, model: GaussianModel, cameras: Sequence) -> tuple:
         """Measure pair counts over representative cameras -> static capacity."""
         act = model.activate()
-        cap = 0
+        cap = cap_pad = 0
         for cam in cameras:
             w2c, proj = _camera_mats(cam)
-            c, _ = plan_capacity(act, w2c, proj, self.width, self.height,
-                                 self.cfg)
-            cap = max(cap, c)
-        g = self.cfg.chunk_size
-        nt = (self.width // self.cfg.tile_size) * (self.height // self.cfg.tile_size)
-        self.capacity = (cap, cap + (nt + 1) * g)
+            c, cp = plan_capacity(act, w2c, proj, self.width, self.height,
+                                  self.cfg)
+            cap, cap_pad = max(cap, c), max(cap_pad, cp)
+        self.capacity = (cap, cap_pad)
         return self.capacity
 
     def _rays(self, camera):

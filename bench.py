@@ -62,12 +62,21 @@ def main():
             return jnp.mean((out["rgb"] - target) ** 2)
         return jax.value_and_grad(loss)(m)
 
-    # warmup / compile
+    # warmup / compile.  NB: axon's block_until_ready can return before the
+    # device finishes; a D2H scalar read is the reliable sync.
     t_c = time.time()
     val, grads = fwd_bwd(model)
-    jax.block_until_ready(grads.means)
     assert np.isfinite(float(val))
     log(f"bench: compile+first step {time.time() - t_c:.1f}s")
+
+    # sanity: the scene must actually be hit (guards against culling bugs
+    # silently benchmarking an empty render)
+    probe = renderer.render(model, cam)
+    mean_hits = float(jnp.mean(probe["hit_count"]))
+    grad_norm = float(jnp.linalg.norm(grads.means))
+    log(f"bench: mean hits/ray {mean_hits:.2f} grad norm {grad_norm:.2e}")
+    assert mean_hits > 0.1, f"empty render (mean hits {mean_hits})"
+    assert grad_norm > 0, "zero gradients"
 
     # steady-state window (time-based, like USE_TIME_BASED_FPS)
     window = float(os.environ.get("GVRT_BENCH_SECONDS", 8.0))
@@ -75,7 +84,7 @@ def main():
     frames = 0
     while time.time() - t0 < window:
         val, grads = fwd_bwd(model)
-        jax.block_until_ready(grads.means)
+        _ = float(val)  # D2H sync
         frames += 1
     dt = (time.time() - t0) / frames
 

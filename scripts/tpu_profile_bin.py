@@ -76,15 +76,16 @@ tc = timeit("tile_counts scatter-add", lambda ts: jnp.zeros(
 pair_gauss = jnp.where(jnp.arange(cap_pad) < cap,
                        jnp.concatenate([g_sorted, jnp.zeros(
                            (cap_pad - cap,), jnp.int32)]), n)
-pair_pos = jnp.clip(jnp.arange(cap, dtype=jnp.int32), 0, cap_pad)
+pair_sorted = jnp.arange(cap, dtype=jnp.int32)
+pair_dest = jnp.clip(jnp.arange(cap, dtype=jnp.int32), 0, cap_pad)
 
 rows64 = jnp.ones((n + 1, 64), jnp.float32)
 timeit("chunked_gather fwd", lambda r, pg: chunked_gather(
-    g, r, pg, pair_pos, offsets, counts), rows64, pair_gauss)
+    g, r, pg, pair_sorted, pair_dest, offsets, counts), rows64, pair_gauss)
 
 bar = jnp.ones((cap_pad // g, 64, g), jnp.float32)
 timeit("chunked_gather bwd", lambda b: jax.vjp(
-    lambda r: chunked_gather(g, r, pair_gauss, pair_pos, offsets, counts),
+    lambda r: chunked_gather(g, r, pair_gauss, pair_sorted, pair_dest, offsets, counts),
     rows64)[1](b), bar, reps=5)
 
 full = timeit("bin_gaussians total", lambda a: binning.bin_gaussians(

@@ -21,7 +21,9 @@ def sync(x):
     return x
 
 
-for ts, g in [(16, 256), (16, 128), (16, 64)]:
+import ast, os
+SWEEP = ast.literal_eval(os.environ.get('GVRT_SWEEP', '[(16, 256), (16, 128), (16, 64)]'))
+for ts, g in SWEEP:
     cfg = g3.DEFAULT_CONFIG.replace(tile_size=ts, chunk_size=g)
     r = TiledRenderer(W, H, cfg, impl="pallas")
     r.plan(model, [cam])

@@ -24,7 +24,9 @@ def test_blocked_cumsum_matches_jnp():
 
 
 def _random_layout(key, n, capacity, chunk, c=5):
-    """Build a consistent (pair_gauss, pair_pos, offsets, counts) layout."""
+    """Build a consistent (pair_gauss, pair_sorted, pair_dest, offsets,
+    counts) layout.  pair_sorted=arange makes pair_dest the direct pre-sort
+    pair -> slot map, which the lazy inversion sort reproduces."""
     kc, kp = jax.random.split(key)
     counts = np.asarray(jax.random.randint(kc, (n,), 0, 5), np.int32)
     offsets = np.cumsum(counts) - counts
@@ -35,27 +37,30 @@ def _random_layout(key, n, capacity, chunk, c=5):
     slots = np.asarray(
         jax.random.permutation(kp, p_pad)[:total], np.int32)
     pair_gauss = np.full((p_pad,), n, np.int32)
-    pair_pos = np.full((capacity,), p_pad, np.int32)
+    pair_dest = np.full((capacity,), p_pad, np.int32)
     p = 0
     for g in range(n):
         for _ in range(counts[g]):
             pair_gauss[slots[p]] = g
-            pair_pos[p] = slots[p]
+            pair_dest[p] = slots[p]
             p += 1
-    return (jnp.asarray(pair_gauss), jnp.asarray(pair_pos),
-            jnp.asarray(offsets, jnp.int32), jnp.asarray(counts))
+    pair_sorted = np.arange(capacity, dtype=np.int32)
+    return (jnp.asarray(pair_gauss), jnp.asarray(pair_sorted),
+            jnp.asarray(pair_dest), jnp.asarray(offsets, jnp.int32),
+            jnp.asarray(counts))
 
 
 def test_custom_vjp_matches_autodiff_gather():
     n, capacity, chunk, c = 37, 160, 32, 6
-    pair_gauss, pair_pos, offsets, counts = _random_layout(
+    pair_gauss, pair_sorted, pair_dest, offsets, counts = _random_layout(
         jax.random.key(1), n, capacity, chunk, c)
     rows = jax.random.normal(jax.random.key(2), (n + 1, c))
     p_pad = pair_gauss.shape[0]
     bar = jax.random.normal(jax.random.key(3), (p_pad // chunk, chunk, c))
 
     def custom(r):
-        out = chunked_gather(chunk, r, pair_gauss, pair_pos, offsets, counts)
+        out = chunked_gather(chunk, r, pair_gauss, pair_sorted, pair_dest,
+                             offsets, counts)
         return jnp.sum(out * bar)
 
     def plain(r):
