@@ -3,4 +3,6 @@
 from . import distributed, sharding
 from .distributed import data_parallel_mesh, init_distributed
 from .sharding import (CameraBatch, camera_batch, make_mesh,
-                       render_batch_sharded, replicate_model)
+                       plan_capacity_sharded, render_batch_sharded,
+                       render_image_tile_sharded,
+                       replicate_model)

@@ -27,10 +27,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RenderConfig, DEFAULT_CONFIG
 from ..models.gaussians import GaussianModel
-from ..render.binning import bin_gaussians, tile_rays, untile
+from ..render.binning import (band_rays, bin_gaussians, plan_capacity,
+                              tile_rays, unband_image, untile)
 from ..render.pallas_forward import forward_tiles, forward_tiles_reference
 from ..render.tile_math import ACC_T
-from ..render.tiled import _camera_mats
+from ..render.tiled import _camera_mats, _resolve_impl
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "cam") -> Mesh:
@@ -99,3 +100,64 @@ def replicate_model(model: GaussianModel, mesh: Mesh) -> GaussianModel:
     """Place the parameter pytree replicated on every device of the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, sharding), model)
+
+
+def plan_capacity_sharded(model: GaussianModel, camera, n_devices: int,
+                          cfg: RenderConfig = DEFAULT_CONFIG):
+    """Static (capacity, capacity_padded) for tile-row-sharded rendering:
+    the max over the per-band plans (SPMD shapes must agree).  Call OUTSIDE
+    any jit/grad trace (host planning needs concrete arrays)."""
+    act = model.activate()
+    w2c, proj = _camera_mats(camera)
+    cap = cap_pad = 0
+    for off in range(n_devices):
+        c, cp = plan_capacity(act, w2c, proj, camera.width, camera.height,
+                              cfg, band=(off, n_devices))
+        cap, cap_pad = max(cap, c), max(cap_pad, cp)
+    return cap, cap_pad
+
+
+def render_image_tile_sharded(model: GaussianModel, camera, mesh: Mesh,
+                              cfg: RenderConfig = DEFAULT_CONFIG,
+                              impl: str = "auto", capacity=None,
+                              axis: str = "cam"):
+    """Render ONE camera with its tile rows sharded across the mesh.
+
+    BASELINE config[2] (big scene, one frame, one host, tile-sharded): every
+    device bins + renders every `D`-th tile ROW (round-robin for load
+    balance — contiguous bands would concentrate the object's tiles on the
+    middle devices), with the Gaussian parameters replicated.  Forward is
+    pure SPMD: zero cross-chip traffic; a `jax.grad` over this function
+    all-reduces parameter gradients, which XLA lowers onto ICI.
+
+    Returns the assembled (H, W, 8) accumulator image.
+    """
+    impl = _resolve_impl(impl)
+    d = int(mesh.devices.size)
+    width, height = camera.width, camera.height
+    act = model.activate()
+    w2c, proj = _camera_mats(camera)
+    if capacity is None:
+        capacity = plan_capacity_sharded(model, camera, d, cfg)
+    cap, cap_pad = capacity
+
+    rays = band_rays(camera, cfg, d)                  # (D, lt, 8, R)
+    offsets = jnp.arange(d, dtype=jnp.int32)
+    lh = height // d
+
+    def device_fn(act, w2c, proj, rays_l, off):
+        binned = bin_gaussians(act, w2c, proj, width, height, cfg, cap,
+                               cap_pad, row_offset=off[0], row_stride=d)
+        if impl == "pallas":
+            acc = forward_tiles(binned, rays_l[0], cfg, interpret=False)
+        elif impl == "interpret":
+            acc = forward_tiles(binned, rays_l[0], cfg, interpret=True)
+        else:
+            acc = forward_tiles_reference(binned, rays_l[0], cfg)
+        return untile(acc, width, lh, cfg.tile_size)[None]
+
+    fn = jax.shard_map(device_fn, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(axis), P(axis)),
+                       out_specs=P(axis), check_vma=False)
+    bands = fn(act, w2c, proj, rays, offsets)         # (D, lh, W, 8)
+    return unband_image(bands, width, height, cfg.tile_size)

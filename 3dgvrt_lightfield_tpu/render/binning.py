@@ -63,8 +63,15 @@ class BinnedScene(NamedTuple):
 
 
 def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
-                 cfg: RenderConfig):
-    """Conservative per-Gaussian tile rectangle + validity + view depth."""
+                 cfg: RenderConfig, band=(0, 1)):
+    """Conservative per-Gaussian tile rectangle + validity + view depth.
+
+    `band = (offset, stride)` restricts the result to every stride-th tile
+    ROW starting at `offset` (round-robin tile-row sharding across devices;
+    stride must divide the tile-row count and be static, offset may be a
+    traced per-device scalar).  Returned ty0/ty1 are LOCAL row indices
+    within the band; (nx, ny) is the local grid.
+    """
     ts = cfg.tile_size
     nx, ny = width // ts, height // ts
 
@@ -129,6 +136,17 @@ def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
     tx1 = jnp.clip(jnp.floor(px_x1 / ts).astype(jnp.int32), 0, nx - 1)
     ty1 = jnp.clip(jnp.floor(px_y1 / ts).astype(jnp.int32), 0, ny - 1)
 
+    offset, stride = band
+    if stride != 1:
+        assert ny % stride == 0, (ny, stride)
+        lny = ny // stride
+        ly0 = (ty0 - offset + stride - 1) // stride   # ceil((ty0-off)/stride)
+        ly1 = (ty1 - offset) // stride                # floor
+        valid &= (ly1 >= ly0) & (ly1 >= 0) & (ly0 <= lny - 1)
+        ty0 = jnp.clip(ly0, 0, lny - 1)
+        ty1 = jnp.clip(ly1, 0, lny - 1)
+        ny = lny
+
     depth = -cs[:, 2]
     return (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, r_s
 
@@ -169,15 +187,20 @@ def _pair_sphere_cull(tile_x, tile_y, csx, csy, csz, r, p00, p11,
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "capacity",
-                                   "capacity_padded"))
+                                   "capacity_padded", "row_stride"))
 def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
                   width: int, height: int, cfg: RenderConfig,
-                  capacity: int, capacity_padded: int) -> BinnedScene:
-    """Build the chunked, depth-sorted per-tile Gaussian lists."""
+                  capacity: int, capacity_padded: int,
+                  row_offset=0, row_stride: int = 1) -> BinnedScene:
+    """Build the chunked, depth-sorted per-tile Gaussian lists.
+
+    With `row_stride > 1` the pass bins only every stride-th tile row
+    starting at `row_offset` (round-robin tile-row sharding; `row_offset`
+    may be a traced per-device scalar inside shard_map)."""
     g = cfg.chunk_size
     n = act.means.shape[0]
     (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, r_s = _tile_ranges(
-        act, w2c, proj, width, height, cfg)
+        act, w2c, proj, width, height, cfg, band=(row_offset, row_stride))
     num_tiles = nx * ny
 
     rect_w = tx1 - tx0 + 1
@@ -226,8 +249,9 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     j = p_idx - e_off
     tile_x = e_tx0 + j % e_rw
     tile_y = e_ty0 + j // e_rw
-    fine = _pair_sphere_cull(tile_x, tile_y, exp[:, 6], exp[:, 7], exp[:, 8],
-                             exp[:, 9], proj[0, 0], proj[1, 1],
+    tile_y_global = tile_y * row_stride + row_offset
+    fine = _pair_sphere_cull(tile_x, tile_y_global, exp[:, 6], exp[:, 7],
+                             exp[:, 8], exp[:, 9], proj[0, 0], proj[1, 1],
                              width, height, cfg.tile_size)
     tile_id = jnp.where(in_range & fine, tile_y * nx + tile_x, num_tiles)
 
@@ -312,17 +336,18 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
 
 
 def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
-                  cfg: RenderConfig, slack: float = 1.3):
+                  cfg: RenderConfig, slack: float = 1.3, band=(0, 1)):
     """Measure pair counts once (host NumPy) to pick static capacities.
 
     `capacity` sizes the pre-cull expansion+sort arrays (rect pairs);
     `capacity_padded` sizes the chunked kernel arrays and is planned from the
     post-cull per-tile survivor counts (chunk-rounded, with slack for camera
     motion), so the fine cull shrinks the gather and kernel grids too.
+    `band` plans one tile-row shard (see bin_gaussians row_offset/stride).
     """
     (tx0, ty0, tx1, ty1), valid, _, (nx, ny), cs, r_s = jax.tree.map(
         np.asarray, _tile_ranges(act, jnp.asarray(w2c), jnp.asarray(proj),
-                                 width, height, cfg))
+                                 width, height, cfg, band=band))
     counts = np.where(valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
     total = int(counts.sum())
     g = cfg.chunk_size
@@ -336,7 +361,8 @@ def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
     tile_x = tx0[pg] + j % rect_w[pg]
     tile_y = ty0[pg] + j // rect_w[pg]
     keep = np.asarray(_pair_sphere_cull(
-        tile_x, tile_y, cs[pg, 0], cs[pg, 1], cs[pg, 2], r_s[pg],
+        tile_x, tile_y * band[1] + band[0],
+        cs[pg, 0], cs[pg, 1], cs[pg, 2], r_s[pg],
         float(np.asarray(proj)[0, 0]), float(np.asarray(proj)[1, 1]),
         width, height, cfg.tile_size))
     tile_id = (tile_y * nx + tile_x)[keep]
@@ -370,3 +396,27 @@ def untile(img_tiled: jnp.ndarray, width: int, height: int, ts: int):
     c = img_tiled.shape[1]
     return (img_tiled.reshape(ny, nx, c, ts, ts)
             .transpose(0, 3, 1, 4, 2).reshape(height, width, c))
+
+
+def band_rays(camera, cfg: RenderConfig, stride: int, aabb=None):
+    """Tiled rays split into `stride` round-robin tile-row bands.
+
+    Returns (stride, local_tiles, 8, R): axis 0 is the band (shardable);
+    band d owns global tile rows d, d+stride, d+2*stride, ...
+    """
+    ts = cfg.tile_size
+    rays = tile_rays(camera, cfg, aabb)                 # (ny*nx, 8, R)
+    ny = camera.height // ts
+    nx = camera.width // ts
+    assert ny % stride == 0, (ny, stride)
+    byband = rays.reshape(ny // stride, stride, nx, 8, ts * ts)
+    return byband.transpose(1, 0, 2, 3, 4).reshape(
+        stride, (ny // stride) * nx, 8, ts * ts)
+
+
+def unband_image(bands: jnp.ndarray, width: int, height: int, ts: int):
+    """(stride, local_H, W, C) band images -> interleaved (H, W, C)."""
+    stride, lh, w, c = bands.shape
+    lny = lh // ts
+    return (bands.reshape(stride, lny, ts, w, c)
+            .transpose(1, 0, 2, 3, 4).reshape(height, width, c))
