@@ -100,9 +100,11 @@ def chunk_core(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
     resp = particle_response(gray_dist, cfg.kernel_degree)
     alpha = jnp.minimum(cfg.max_alpha, resp * density)
 
-    # max-response depth along the ray (gaussianfunctions.glsl:205-206)
+    # max-response depth along the ray (gaussianfunctions.glsl:205-206);
+    # 1/inv_s hoisted to (G, 1) so no (G, R)-shaped division is issued
+    s = [1.0 / inv_s[i] for i in range(3)]
     s_loc = -(grd[0] * gro[0] + grd[1] * gro[1] + grd[2] * gro[2])
-    scale_sq = sum((grd[i] / inv_s[i]) ** 2 for i in range(3))
+    scale_sq = sum((grd[i] * s[i]) ** 2 for i in range(3))
     # clamp: keeps sqrt's VJP finite for degenerate (padding/dummy) pairs
     t = s_loc * jnp.sqrt(jnp.maximum(scale_sq, 1e-20))
 
