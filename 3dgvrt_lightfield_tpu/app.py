@@ -183,13 +183,20 @@ def cmd_train(args):
             print(f"resumed from checkpoint step {restored}")
     bsz = args.batch
     rng = np.random.default_rng(0)
+    # held-out PSNR tracking (BASELINE config[4]) on the eval renderer
+    from .utils.metrics import psnr
+    eval_r = TiledRenderer(args.width, args.height, DEFAULT_CONFIG,
+                           capacity=capacity, impl=args.impl)
     for step in range(start_step, args.steps):
         idx = rng.choice(len(cams), size=bsz, replace=False)
         batch = camera_batch([cams[i] for i in idx], DEFAULT_CONFIG)
         tgt = jnp.stack([jnp.asarray(targets[i]) for i in idx])
         state, loss = trainer.step(state, batch, tgt)
         if step % max(1, args.steps // 20) == 0:
-            print(f"step {step}: loss {float(loss):.6f}")
+            out = eval_r.render(state[0], cams[0])
+            p = psnr(np.asarray(out["rgb"]) * 255.0,
+                     np.asarray(targets[0]) * 255.0)
+            print(f"step {step}: loss {float(loss):.6f} psnr {p:.2f}")
         if args.ckpt_dir and args.ckpt_every and (step + 1) % args.ckpt_every == 0:
             save_checkpoint(args.ckpt_dir, state, step)
     if args.ckpt_dir:
