@@ -107,9 +107,22 @@ class TiledRenderer:
         if self.capacity is None:
             self.plan(model, [camera])
         w2c, proj = _camera_mats(camera)
-        return _render_pipeline(model.activate(), w2c, proj,
-                                self._rays(camera), self.width, self.height,
-                                self.cfg, *self.capacity, self.impl)
+        out = _render_pipeline(model.activate(), w2c, proj,
+                               self._rays(camera), self.width, self.height,
+                               self.cfg, *self.capacity, self.impl)
+        # capacity overflow truncates pairs (dropped, never corrupt); when
+        # called eagerly, re-plan for this camera and re-render once
+        from jax._src.core import trace_state_clean
+        if trace_state_clean() and int(out["overflow"]) > 0:
+            c, cp = plan_capacity(model.activate(), w2c, proj, self.width,
+                                  self.height, self.cfg)
+            self.capacity = (max(self.capacity[0], c),
+                             max(self.capacity[1], cp))
+            out = _render_pipeline(model.activate(), w2c, proj,
+                                   self._rays(camera), self.width,
+                                   self.height, self.cfg, *self.capacity,
+                                   self.impl)
+        return out
 
 
 def render_image_tiled(model: GaussianModel, camera,

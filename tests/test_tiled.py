@@ -128,3 +128,17 @@ def test_gradients_flow_through_tiled_scan():
     assert float(jnp.linalg.norm(gr.means)) > 0
     assert float(jnp.linalg.norm(gr.sh_dc)) > 0
     assert np.isfinite(np.asarray(gr.quats)).all()
+
+
+def test_render_replans_on_overflow():
+    """Planning on an empty view must not truncate a later dense view."""
+    model = _scene(256, seed=7, spread=0.6)
+    away = np.eye(4)
+    away[2, 3] = -30.0  # camera far past the scene, looking away from it
+    away_cam = g3.Camera.from_fovy(32, 32, 60.0, away)
+    near = _camera(32)
+    r = g3.render.tiled.TiledRenderer(32, 32, CFG, impl="scan")
+    r.plan(model, [away_cam])
+    out = r.render(model, near)  # auto-replans on overflow
+    assert int(out["overflow"]) == 0
+    assert float(np.asarray(out["hit_count"]).mean()) > 0.1
