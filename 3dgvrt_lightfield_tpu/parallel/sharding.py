@@ -46,7 +46,7 @@ class CameraBatch(NamedTuple):
     """Stacked per-camera render inputs; leading axis = camera (shardable)."""
     w2c: jnp.ndarray    # (B, 4, 4)
     proj: jnp.ndarray   # (B, 4, 4)
-    rays: jnp.ndarray   # (B, num_tiles, 8, R)
+    rays: jnp.ndarray   # (B, num_tiles, 24, R) — binning.tile_rays layout
 
 
 def camera_batch(cameras: Sequence, cfg: RenderConfig) -> CameraBatch:
@@ -141,7 +141,7 @@ def render_image_tile_sharded(model: GaussianModel, camera, mesh: Mesh,
         capacity = plan_capacity_sharded(model, camera, d, cfg)
     cap, cap_pad = capacity
 
-    rays = band_rays(camera, cfg, d)                  # (D, lt, 8, R)
+    rays = band_rays(camera, cfg, d)                  # (D, lt, 24, R)
     offsets = jnp.arange(d, dtype=jnp.int32)
     lh = height // d
 

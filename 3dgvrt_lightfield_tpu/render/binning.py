@@ -43,7 +43,9 @@ from ..config import RenderConfig
 from ..models.gaussians import ActivatedGaussians
 from ..ops.aabb import gaussian_world_aabb, intersect_aabb
 from ..ops.kernels import kernel_scale
+from ..ops.sh import sh_basis_components
 from .param_grads import chunked_gather
+from .tile_math import RAY_ROWS
 
 
 class BinnedScene(NamedTuple):
@@ -377,17 +379,25 @@ def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
 
 
 def tile_rays(camera, cfg: RenderConfig, aabb=None):
-    """Per-pixel rays + AABB clip range, tiled to (num_tiles, 8, R)."""
+    """Per-pixel rays + AABB clip range + SH basis, tiled to (T, 24, R).
+
+    Rows 0:8 are [o, d, tmin, tmax]; rows 8:24 are the 16 SH basis values of
+    the ray direction (zero above (sh_degree+1)^2), precomputed here so the
+    fused kernels never re-evaluate the basis polynomials per chunk."""
     ts = cfg.tile_size
     o, d = camera.rays()
     h, w = o.shape[:2]
     assert h % ts == 0 and w % ts == 0, (h, w, ts)
-    tmin, tmax = intersect_aabb(aabb or cfg.aabb, jnp.asarray(o),
-                                jnp.asarray(d))
-    rays = jnp.concatenate([jnp.asarray(o), jnp.asarray(d),
-                            tmin[..., None], tmax[..., None]], axis=-1)
-    tiled = rays.reshape(h // ts, ts, w // ts, ts, 8)
-    return tiled.transpose(0, 2, 4, 1, 3).reshape(-1, 8, ts * ts)
+    d = jnp.asarray(d)
+    tmin, tmax = intersect_aabb(aabb or cfg.aabb, jnp.asarray(o), d)
+    basis = sh_basis_components(d[..., 0], d[..., 1], d[..., 2],
+                                cfg.sh_degree)
+    basis += [jnp.zeros_like(d[..., 0])] * (16 - len(basis))
+    rays = jnp.concatenate([jnp.asarray(o), d, tmin[..., None],
+                            tmax[..., None], jnp.stack(basis, axis=-1)],
+                           axis=-1)
+    tiled = rays.reshape(h // ts, ts, w // ts, ts, RAY_ROWS)
+    return tiled.transpose(0, 2, 4, 1, 3).reshape(-1, RAY_ROWS, ts * ts)
 
 
 def untile(img_tiled: jnp.ndarray, width: int, height: int, ts: int):
@@ -405,13 +415,13 @@ def band_rays(camera, cfg: RenderConfig, stride: int, aabb=None):
     band d owns global tile rows d, d+stride, d+2*stride, ...
     """
     ts = cfg.tile_size
-    rays = tile_rays(camera, cfg, aabb)                 # (ny*nx, 8, R)
+    rays = tile_rays(camera, cfg, aabb)                 # (ny*nx, 24, R)
     ny = camera.height // ts
     nx = camera.width // ts
     assert ny % stride == 0, (ny, stride)
-    byband = rays.reshape(ny // stride, stride, nx, 8, ts * ts)
+    byband = rays.reshape(ny // stride, stride, nx, RAY_ROWS, ts * ts)
     return byband.transpose(1, 0, 2, 3, 4).reshape(
-        stride, (ny // stride) * nx, 8, ts * ts)
+        stride, (ny // stride) * nx, RAY_ROWS, ts * ts)
 
 
 def unband_image(bands: jnp.ndarray, width: int, height: int, ts: int):

@@ -37,7 +37,7 @@ def forward_tiles(binned: BinnedScene, rays_tiled: jnp.ndarray,
 
     Args:
       binned: output of binning.bin_gaussians.
-      rays_tiled: (num_tiles, 8, R) from binning.tile_rays.
+      rays_tiled: (num_tiles, 24, R) from binning.tile_rays.
       interpret: run in Pallas interpreter mode (CPU testing).
 
     Returns (num_tiles, 8, R) accumulators (rgb, depth, T, hits rows).

@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from .tile_math import ACC_T, chunk_core, chunk_update
+from .tile_math import ACC_T, RAY_ROWS, chunk_core, chunk_update
 
 
 #: chunks of T_in residual packed per block row (Mosaic needs >=8 sublanes)
@@ -157,7 +157,8 @@ def _forward_call(cfg, interpret, with_residuals, chunks, rays, chunk_tile,
         num_scalar_prefetch=3,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((1, 8, r), lambda c, ct, cf, cs: (ct[c], 0, 0)),
+            pl.BlockSpec((1, RAY_ROWS, r),
+                         lambda c, ct, cf, cs: (ct[c], 0, 0)),
             pl.BlockSpec((1, g, 64), lambda c, ct, cf, cs: (cs[c], 0, 0)),
         ],
         out_specs=tuple(out_specs) if with_residuals else out_specs[0],
@@ -202,7 +203,8 @@ def _render_bwd(cfg, interpret, res, bar_acc):
         num_scalar_prefetch=3,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((1, 8, r), lambda c, ct, cl, cs: (ct[rev(c)], 0, 0)),
+            pl.BlockSpec((1, RAY_ROWS, r),
+                         lambda c, ct, cl, cs: (ct[rev(c)], 0, 0)),
             pl.BlockSpec((1, g, 64),
                          lambda c, ct, cl, cs: (cs[rev(c)], 0, 0)),
             pl.BlockSpec((TIN_PACK, r),

@@ -17,7 +17,11 @@ the same `processHit` chain as the brute-force renderer
     clamped at 0 per pair exactly like `radianceFromSpH` (clamped=true).
 
 Data layouts:
-  rays  (8, R):  rows [ox oy oz dx dy dz tmin tmax]
+  rays  (24, R): rows [ox oy oz dx dy dz tmin tmax | 16 SH basis rows]
+                 — the direction-only SH basis is precomputed once per tile
+                 by binning.tile_rays (zero-padded above (sh_degree+1)^2), so
+                 neither the forward nor the backward kernel re-evaluates the
+                 basis polynomials per chunk
   acc   (8, R):  rows [r g b depth T hit_count pad pad]
   chunk (G, 64): cols [0:3 mean | 3:6 inv_scale | 6:15 rot (row-major
                  local->world R) | 15 density | 16:32 sh_r | 32:48 sh_g |
@@ -32,12 +36,15 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig
 from ..ops.kernels import particle_response
-from ..ops.sh import sh_basis_components
 
 ACC_RGB = slice(0, 3)
 ACC_DEPTH = 3
 ACC_T = 4
 ACC_HITS = 5
+
+#: rows per tile ray block: 8 geometry rows + 16 precomputed SH basis rows
+RAY_ROWS = 24
+RAY_BASIS = slice(8, 24)
 
 # fused chunk column layout
 CH_MEAN = 0      # 3 cols
@@ -124,12 +131,9 @@ def chunk_core(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
     active = t_before > cfg.min_transmittance
     w = alpha_eff * t_before * active
 
-    # SH radiance per pair: rad_c = clamp(C_c @ basis + 0.5, 0)
-    num = (cfg.sh_degree + 1) ** 2
-    basis = jnp.concatenate(
-        sh_basis_components(d[0], d[1], d[2], cfg.sh_degree), axis=0)
-    basis16 = basis if num == 16 else jnp.concatenate(
-        [basis, jnp.zeros((16 - num, rays.shape[1]), f32)], axis=0)
+    # SH radiance per pair: rad_c = clamp(C_c @ basis + 0.5, 0); the basis
+    # rows were precomputed per tile (binning.tile_rays), so this is pure MXU
+    basis16 = rays[RAY_BASIS, :]
     out_rgb = []
     for c in range(3):
         sh_c = chunk[:, CH_SH + 16 * c:CH_SH + 16 * (c + 1)]       # (G, 16)
