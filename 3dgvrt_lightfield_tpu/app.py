@@ -76,6 +76,19 @@ def _common(p):
                    help="drop abnormal particles (enclosing-pass filter)")
 
 
+def _dump_poses(cams, path):
+    """Camera-pose dump (hotkey P analog, VulkanRTBase.cpp:1753-1760)."""
+    import json
+    poses = [{"name": c.name or str(i),
+              "width": c.width, "height": c.height,
+              "fovy_deg": float(getattr(c, "fovy_deg", 0.0)),
+              "camera_to_world": np.asarray(c.view_inverse).tolist()}
+             for i, c in enumerate(cams)]
+    with open(path, "w") as f:
+        json.dump(poses, f, indent=1)
+    print(path)
+
+
 def cmd_render(args):
     import jax
     from .config import DEFAULT_CONFIG
@@ -86,6 +99,8 @@ def cmd_render(args):
     r = TiledRenderer(args.width, args.height, DEFAULT_CONFIG, impl=args.impl)
     r.plan(model, cams[: min(4, len(cams))])
     os.makedirs(args.out, exist_ok=True)
+    if args.dump_poses:
+        _dump_poses(cams, os.path.join(args.out, "camera_poses.json"))
     for i, cam in enumerate(cams):
         out = r.render(model, cam)
         path = os.path.join(args.out, f"{cam.name or i}.png")
@@ -269,6 +284,8 @@ def main(argv=None):
     pr.add_argument("--frames", type=int, default=8)
     pr.add_argument("--hit-counts", action="store_true",
                     help="dump per-pixel hit counts (ENABLE_HIT_COUNTS)")
+    pr.add_argument("--dump-poses", action="store_true",
+                    help="write camera_poses.json (hotkey P analog)")
     pr.set_defaults(fn=cmd_render)
 
     pb = sub.add_parser("benchmark", help="timed fps loop (-b)")

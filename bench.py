@@ -29,6 +29,15 @@ def log(msg):
 
 def main():
     import jax
+    # persistent compilation cache: the driver re-runs this every round with
+    # an identical program; a warm cache turns the ~90s compile into seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/root/repo/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never a requirement
+        log(f"bench: compilation cache unavailable ({e})")
     import jax.numpy as jnp
     import numpy as np
     import gvrt_tpu as g3
@@ -50,8 +59,23 @@ def main():
     log(f"bench: backend={jax.default_backend()} impl={impl} "
         f"gaussians={n_gauss} res={width}x{height}")
     renderer = TiledRenderer(width, height, cfg, impl=impl)
-    renderer.plan(model, [cam])
-    log(f"bench: capacity={renderer.capacity}")
+    # the capacity plan is deterministic for this fixed synthetic scene:
+    # cache it on disk so reruns skip the measurement pass entirely
+    plan_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_plan.json")
+    plan_key = f"{n_gauss}x{width}x{height}"
+    try:
+        with open(plan_cache) as f:
+            renderer.capacity = tuple(json.load(f)[plan_key])
+        log(f"bench: capacity={renderer.capacity} (cached)")
+    except (OSError, KeyError, ValueError):
+        renderer.plan(model, [cam])
+        log(f"bench: capacity={renderer.capacity}")
+        try:
+            with open(plan_cache, "w") as f:
+                json.dump({plan_key: list(renderer.capacity)}, f)
+        except OSError:
+            pass
 
     target = jnp.zeros((height, width, 3)) + 0.3
 
@@ -59,20 +83,21 @@ def main():
     def fwd_bwd(m):
         def loss(m):
             out = renderer.render(m, cam)
-            return jnp.mean((out["rgb"] - target) ** 2)
-        return jax.value_and_grad(loss)(m)
+            return jnp.mean((out["rgb"] - target) ** 2), out["hit_count"]
+        (val, hits), grads = jax.value_and_grad(loss, has_aux=True)(m)
+        return val, jnp.mean(hits), grads
 
     # warmup / compile.  NB: axon's block_until_ready can return before the
     # device finishes; a D2H scalar read is the reliable sync.
     t_c = time.time()
-    val, grads = fwd_bwd(model)
+    val, mean_hits, grads = fwd_bwd(model)
     assert np.isfinite(float(val))
     log(f"bench: compile+first step {time.time() - t_c:.1f}s")
 
     # sanity: the scene must actually be hit (guards against culling bugs
-    # silently benchmarking an empty render)
-    probe = renderer.render(model, cam)
-    mean_hits = float(jnp.mean(probe["hit_count"]))
+    # silently benchmarking an empty render); probe stats ride the same
+    # compiled function — no second compile
+    mean_hits = float(mean_hits)
     grad_norm = float(jnp.linalg.norm(grads.means))
     log(f"bench: mean hits/ray {mean_hits:.2f} grad norm {grad_norm:.2e}")
     assert mean_hits > 0.1, f"empty render (mean hits {mean_hits})"
@@ -83,7 +108,7 @@ def main():
     t0 = time.time()
     frames = 0
     while time.time() - t0 < window:
-        val, grads = fwd_bwd(model)
+        val, _, grads = fwd_bwd(model)
         _ = float(val)  # D2H sync
         frames += 1
     dt = (time.time() - t0) / frames
