@@ -49,7 +49,6 @@ class RenderConfig:
       - kernel_degree:        shaders/glsl/base/3dgs.glsl:22 (PARTICLE_KERNEL_DEGREE=4)
       - sh_degree:            3dgs.glsl:18 (MAX_SPH_DEGREE=3); runtime sphEvalDegree
                               in base/VulkanUtils.h:56
-      - max_hits_per_trace:   3dgs.glsl:15 (MAX_HIT_PER_TRACE=16)
       - alpha_min:            3dgs.glsl:16 (ALPHA_MIN_THRESHOLD=1/255)
       - max_alpha:            gaussianfunctions.glsl:198 (min(0.99, ...))
       - min_transmittance:    VulkanUtils.h:54 (0.001)
@@ -61,9 +60,13 @@ class RenderConfig:
       - adaptive_kernel_clamping: VulkanFullRT.cpp:1354 (MOGRenderNone default)
     """
 
+    # NOTE: the reference's MAX_HIT_PER_TRACE=16 (3dgs.glsl:15) is a payload
+    # BUFFER size, not a visual limit — its march re-traces in windows of 16
+    # until the transmittance floor (raygen.rgen:140-184), so every hit along
+    # the ray is composited there too.  The TPU design composites all hits in
+    # depth order directly, so no such knob exists here (see ops/hit.py).
     kernel_degree: int = 4
     sh_degree: int = 3
-    max_hits_per_trace: int = 16
     alpha_min: float = 1.0 / 255.0
     max_alpha: float = 0.99
     min_transmittance: float = 1e-3

@@ -50,6 +50,7 @@ class Camera:
     view_inverse: np.ndarray  # (4, 4) c2w, row-major
     proj_inverse: np.ndarray  # (4, 4) inverse projection, row-major
     name: str = ""
+    fovy_deg: float = 0.0     # vertical FOV in degrees (0 = unknown)
 
     @classmethod
     def from_fovy(cls, width: int, height: int, fovy_deg: float,
@@ -59,7 +60,14 @@ class Camera:
                                   znear, zfar)
         return cls(width=width, height=height,
                    view_inverse=np.asarray(c2w, np.float64),
-                   proj_inverse=np.linalg.inv(proj), name=name)
+                   proj_inverse=np.linalg.inv(proj), name=name,
+                   fovy_deg=float(fovy_deg))
+
+    def content_key(self) -> bytes:
+        """Stable value-based identity (for ray caches etc.)."""
+        return (np.asarray(self.view_inverse, np.float64).tobytes()
+                + np.asarray(self.proj_inverse, np.float64).tobytes()
+                + np.int64([self.width, self.height]).tobytes())
 
     def rays(self, dtype=np.float32):
         """Per-pixel ray origins/directions, replicating raygen.rgen:116-121.

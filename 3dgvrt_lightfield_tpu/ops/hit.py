@@ -10,6 +10,11 @@ Differences from the reference, by design (documented per SURVEY.md 2.4b):
   - Hits are ordered by the *exact* max-response depth `t` instead of the
     BVH proxy-triangle entry distance (`anyhit.rahit:45` gl_HitTEXT); both
     approximate the same front-to-back order.
+  - There is no k=16 hit window: the reference's MAX_HIT_PER_TRACE=16
+    (3dgs.glsl:15) only sizes the any-hit payload buffer — its march loop
+    re-traces from the last hit until the transmittance floor
+    (raygen.rgen:140-184), so all hits are composited there too.  We
+    composite all depth-ordered hits directly; the semantics match.
   - Gaussians whose closest approach lies behind the ray origin (s <= 0) are
     rejected explicitly; the reference gets this for free from BVH tmin.
 """

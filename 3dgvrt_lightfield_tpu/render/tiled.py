@@ -92,13 +92,15 @@ class TiledRenderer:
         return self.capacity
 
     def _rays(self, camera):
-        key = (id(camera), camera.width, camera.height)
+        # value-based key: id() of a collected camera can be reused and would
+        # silently serve another camera's rays
+        key = camera.content_key() if hasattr(camera, "content_key") else (
+            id(camera), camera.width, camera.height)
         if key not in self._ray_cache:
             if len(self._ray_cache) > 64:
                 self._ray_cache.clear()
             rays = tile_rays(camera, self.cfg)
-            from jax._src.core import trace_state_clean
-            if not trace_state_clean():
+            if isinstance(rays, jax.core.Tracer):
                 return rays  # traced call: don't cache trace-local values
             self._ray_cache[key] = jax.device_put(rays)
         return self._ray_cache[key]
@@ -112,8 +114,8 @@ class TiledRenderer:
                                self.cfg, *self.capacity, self.impl)
         # capacity overflow truncates pairs (dropped, never corrupt); when
         # called eagerly, re-plan for this camera and re-render once
-        from jax._src.core import trace_state_clean
-        if trace_state_clean() and int(out["overflow"]) > 0:
+        if (not isinstance(out["overflow"], jax.core.Tracer)
+                and int(out["overflow"]) > 0):
             c, cp = plan_capacity(model.activate(), w2c, proj, self.width,
                                   self.height, self.cfg)
             self.capacity = (max(self.capacity[0], c),
