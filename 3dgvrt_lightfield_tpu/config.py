@@ -89,6 +89,9 @@ class RenderConfig:
     chunk_size: int = 64
     #: Ray-chunk size for the brute-force (validation) renderer.
     ray_chunk: int = 4096
+    #: In-chunk prefix-transmittance implementation: True = strict-lower-
+    #: triangular MXU matmul, False = log-space cumsum over sublanes (VPU).
+    prefix_matmul: bool = False
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -48,6 +48,10 @@ from .param_grads import chunked_gather
 from .tile_math import RAY_ROWS
 
 
+#: bump when binning/layout changes invalidate cached capacity plans
+PLAN_VERSION = 2
+
+
 class BinnedScene(NamedTuple):
     """Chunked scene data consumed by the fused forward kernel."""
     chunks: jnp.ndarray      # (num_chunks, G, 64) fused params (tile_math)
@@ -158,7 +162,9 @@ def _scatter_cummax_fill(capacity: int, offsets, values, valid):
     arr = jnp.zeros((capacity,), jnp.int32)
     arr = arr.at[jnp.where(valid, offsets, capacity)].max(
         values, mode="drop")
-    return jax.lax.associative_scan(jnp.maximum, arr)
+    # lax.cummax is ONE HLO op; lax.associative_scan here built a graph that
+    # alone cost ~53 s of XLA compile time at 1M capacity (measured on v5e)
+    return jax.lax.cummax(arr)
 
 
 def _pair_sphere_cull(tile_x, tile_y, csx, csy, csz, r, p00, p11,
@@ -289,7 +295,7 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
         jnp.arange(num_tiles, dtype=jnp.int32), mode="drop")
     chunk_arr = chunk_arr.at[jnp.minimum(padded_total // g,
                                          num_chunks - 1)].max(num_tiles)
-    chunk_tile = jax.lax.associative_scan(jnp.maximum, chunk_arr)
+    chunk_tile = jax.lax.cummax(chunk_arr)
     chunk_first = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
         (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)])
@@ -303,13 +309,19 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     dest_drop = jnp.where(keep, dest, capacity_padded)
     pair_gauss = pair_gauss.at[dest_drop].set(g_sorted, mode="drop")
 
-    # gather fused per-pair data (dummy row N has density 0 / identity frame)
-    eye = jnp.tile(jnp.eye(3, dtype=jnp.float32).reshape(1, 9), (1, 1))
+    # gather fused per-pair data (dummy row N has density 0 / identity frame).
+    # The world->unit-local frame is prefolded per Gaussian (tile_math v2):
+    # M = diag(1/s) @ R^T and b = M @ mean, so the kernel never touches
+    # scale/rotation separately.
+    m_mat = act.inv_scales[:, :, None] * jnp.swapaxes(act.rotmats, 1, 2)
+    b_vec = jnp.einsum("nij,nj->ni", m_mat, act.means,
+                       preferred_element_type=jnp.float32)
+    eye = jnp.eye(3, dtype=jnp.float32).reshape(1, 9)
     geom_rows = jnp.concatenate([
-        jnp.concatenate([act.means, jnp.zeros((1, 3))], 0),
-        jnp.concatenate([act.inv_scales, jnp.ones((1, 3))], 0),
-        jnp.concatenate([act.rotmats.reshape(n, 9), eye], 0),
+        jnp.concatenate([m_mat.reshape(n, 9), eye], 0),
+        jnp.concatenate([b_vec, jnp.zeros((1, 3))], 0),
         jnp.concatenate([act.densities[:, None], jnp.zeros((1, 1))], 0),
+        jnp.zeros((n + 1, 3), jnp.float32),
     ], axis=1)  # (N+1, 16)
     sh_all = jnp.concatenate([act.sh_coeffs,
                               jnp.zeros((1, 16, 3))], axis=0)  # (N+1, 16, 3)

@@ -4,28 +4,37 @@ This is the fused device-side hot loop of the TPU design: for one image tile
 (R rays) and one depth-ordered chunk of G Gaussians, evaluate every
 (gaussian, ray) pair and advance the per-ray compositing state.  The math is
 the same `processHit` chain as the brute-force renderer
-(gaussianfunctions.glsl:153-229) but laid out for the VPU/MXU in
-**gaussian-major** orientation — Gaussians on sublanes, rays on lanes:
+(gaussianfunctions.glsl:153-229) but algebraically restructured for the
+VPU/MXU in **gaussian-major** orientation (Gaussians on sublanes, rays on
+lanes), with three exact identities that remove most per-pair work:
 
-  * the chunk parameter block is ONE fused (G, 64) array sliced by column —
-    exactly the layout the binning gather produces with no transpose anywhere
-    between HBM and the kernel,
-  * all (G, R) quantities are rank-2 broadcasts of (G, 1) x (1, R),
-  * the front-to-back prefix transmittance inside a chunk is exp(L @ la) with
-    L strictly-lower-triangular ones — an MXU matmul instead of a serial scan,
-  * SH radiance is three (G,16)x(16,R) MXU matmuls (coefficients x basis),
-    clamped at 0 per pair exactly like `radianceFromSpH` (clamped=true).
+  * the world->unit-local frame is prefolded per Gaussian into ONE affine map
+    ``M = diag(1/s) @ R^T`` and offset ``b = M @ mean`` at binning time, so the
+    kernel's frame transform is 9 MACs per pair instead of scale+rotate,
+  * ray origins are shared per tile (pinhole camera: every pixel's ray starts
+    at the camera center, raygen.rgen:116-121), so the local origin
+    ``gro = M @ o - b`` is a per-Gaussian (G, 1) quantity — only the
+    direction transform ``grdu = M @ d`` is per-pair work,
+  * normalization is deferred: with ``n2 = |grdu|^2``,
+    ``grayDist = |cross(grdu, gro)|^2 / n2`` and (because R is orthogonal and
+    |d| = 1) the max-response depth collapses to ``t = -(grdu . gro) / n2``
+    — no sqrt/rsqrt anywhere (gaussianfunctions.glsl:194-206 computes the
+    same values through an explicit unit-local frame).
+
+The front-to-back prefix transmittance inside a chunk is a log-space
+exclusive cumsum over the G axis; SH radiance is an MXU matmul of
+(G, 16) coefficients x (16, R) precomputed basis rows, clamped at 0 per pair
+exactly like `radianceFromSpH` (clamped=true).
 
 Data layouts:
   rays  (24, R): rows [ox oy oz dx dy dz tmin tmax | 16 SH basis rows]
-                 — the direction-only SH basis is precomputed once per tile
-                 by binning.tile_rays (zero-padded above (sh_degree+1)^2), so
-                 neither the forward nor the backward kernel re-evaluates the
-                 basis polynomials per chunk
+                 — all R ray origins in a tile MUST be identical (pinhole);
+                 the direction-only SH basis is precomputed once per tile by
+                 binning.tile_rays (zero-padded above (sh_degree+1)^2)
   acc   (8, R):  rows [r g b depth T hit_count pad pad]
-  chunk (G, 64): cols [0:3 mean | 3:6 inv_scale | 6:15 rot (row-major
-                 local->world R) | 15 density | 16:32 sh_r | 32:48 sh_g |
-                 48:64 sh_b]
+  chunk (G, 64): cols [0:9 M row-major (world->unit-local, scale folded) |
+                 9:12 b = M @ mean | 12 density | 13:16 pad |
+                 16:32 sh_r | 32:48 sh_g | 48:64 sh_b]
 Padding Gaussians have density == 0 (=> alpha 0, no contribution).
 """
 
@@ -46,11 +55,10 @@ ACC_HITS = 5
 RAY_ROWS = 24
 RAY_BASIS = slice(8, 24)
 
-# fused chunk column layout
-CH_MEAN = 0      # 3 cols
-CH_INV_S = 3     # 3 cols
-CH_ROT = 6       # 9 cols, row-major local->world R
-CH_DENSITY = 15  # 1 col
+# fused chunk column layout (v2: prefolded affine frame)
+CH_M = 0         # 9 cols, row-major M = diag(1/s) @ R^T
+CH_B = 9         # 3 cols, b = M @ mean
+CH_DENSITY = 12  # 1 col
 CH_SH = 16       # 3 x 16 cols (r, g, b)
 
 
@@ -58,6 +66,27 @@ def init_acc(r: int, dtype=jnp.float32) -> jnp.ndarray:
     """Fresh accumulator for a tile: black radiance, unit transmittance."""
     acc = jnp.zeros((8, r), dtype)
     return acc.at[ACC_T, :].set(1.0)
+
+
+def _exclusive_cumsum_g(la: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """Exclusive prefix sum over the Gaussian (sublane) axis of (G, R)."""
+    if cfg.prefix_matmul:
+        # strict-lower-triangular ones matmul: one MXU pass per chunk
+        g = la.shape[0]
+        gi = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+        l_strict = (gj < gi).astype(la.dtype)
+        return jnp.dot(l_strict, la, preferred_element_type=la.dtype)
+    # Hillis-Steele over sublanes: log2(G) shifted adds.  Hand-rolled with
+    # concat+static-slice because lax.cumsum has no Mosaic TPU lowering.
+    g, r = la.shape
+    x = la
+    shift = 1
+    while shift < g:
+        top = jnp.zeros((shift, r), la.dtype)
+        x = x + jnp.concatenate([top, x[:g - shift]], axis=0)
+        shift *= 2
+    return x - la
 
 
 def chunk_core(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
@@ -72,60 +101,54 @@ def chunk_core(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
     hits (1, R)).
     """
     f32 = t_in.dtype
-    o = [rays[j:j + 1, :] for j in range(3)]          # 3 x (1, R)
+    # pinhole: every ray in the tile shares one origin -> read column 0 only
+    o = [rays[j:j + 1, 0:1] for j in range(3)]        # 3 x (1, 1)
     d = [rays[3 + j:4 + j, :] for j in range(3)]      # 3 x (1, R)
     tmin = rays[6:7, :]
     tmax = rays[7:8, :]
 
-    m = [chunk[:, CH_MEAN + j:CH_MEAN + j + 1] for j in range(3)]    # (G, 1)
-    inv_s = [chunk[:, CH_INV_S + j:CH_INV_S + j + 1] for j in range(3)]
-    rot = [chunk[:, CH_ROT + j:CH_ROT + j + 1] for j in range(9)]
+    m = [chunk[:, CH_M + j:CH_M + j + 1] for j in range(9)]          # (G, 1)
+    b = [chunk[:, CH_B + j:CH_B + j + 1] for j in range(3)]          # (G, 1)
     density = chunk[:, CH_DENSITY:CH_DENSITY + 1]                    # (G, 1)
 
-    # world -> unit-local frame: v_local_i = sum_j R[j, i] * v_world_j
-    # (R is local->world, so R^T maps world->local; gaussianfunctions.glsl:188)
+    # local origin (per Gaussian, ray-independent) and local direction
     gro = []
     grdu = []
     for i in range(3):
-        pos_i = sum(rot[3 * j + i] * (o[j] - m[j]) for j in range(3))
-        dir_i = sum(rot[3 * j + i] * d[j] for j in range(3))
-        gro.append(inv_s[i] * pos_i)     # (G, R)
-        grdu.append(inv_s[i] * dir_i)    # (G, R)
+        gro.append(m[3 * i] * o[0] + m[3 * i + 1] * o[1]
+                   + m[3 * i + 2] * o[2] - b[i])                     # (G, 1)
+        grdu.append(m[3 * i] * d[0] + m[3 * i + 1] * d[1]
+                    + m[3 * i + 2] * d[2])                           # (G, R)
 
-    # clamp well above f32-denormal: rsqrt's VJP is ~x^-1.5 and must not
-    # overflow to inf for degenerate (padding/dummy) pairs (inf * 0 = NaN)
+    # clamp well above f32-denormal: the reciprocal's VJP must stay finite
+    # for degenerate (padding/dummy) pairs (inf * 0 = NaN)
     nrm2 = grdu[0] * grdu[0] + grdu[1] * grdu[1] + grdu[2] * grdu[2]
-    inv_n = jax.lax.rsqrt(jnp.maximum(nrm2, 1e-20))
-    grd = [g * inv_n for g in grdu]
+    inv_n2 = 1.0 / jnp.maximum(nrm2, 1e-20)
 
-    # grayDist = |cross(grd, gro)|^2 (gaussianfunctions.glsl:194-195)
-    c0 = grd[1] * gro[2] - grd[2] * gro[1]
-    c1 = grd[2] * gro[0] - grd[0] * gro[2]
-    c2 = grd[0] * gro[1] - grd[1] * gro[0]
-    gray_dist = c0 * c0 + c1 * c1 + c2 * c2
+    # grayDist = |cross(grd, gro)|^2 with grd = grdu/|grdu| deferred
+    # (gaussianfunctions.glsl:194-195)
+    c0 = grdu[1] * gro[2] - grdu[2] * gro[1]
+    c1 = grdu[2] * gro[0] - grdu[0] * gro[2]
+    c2 = grdu[0] * gro[1] - grdu[1] * gro[0]
+    gray_dist = (c0 * c0 + c1 * c1 + c2 * c2) * inv_n2
 
     resp = particle_response(gray_dist, cfg.kernel_degree)
     alpha = jnp.minimum(cfg.max_alpha, resp * density)
 
-    # max-response depth along the ray (gaussianfunctions.glsl:205-206);
-    # 1/inv_s hoisted to (G, 1) so no (G, R)-shaped division is issued
-    s = [1.0 / inv_s[i] for i in range(3)]
-    s_loc = -(grd[0] * gro[0] + grd[1] * gro[1] + grd[2] * gro[2])
-    scale_sq = sum((grd[i] * s[i]) ** 2 for i in range(3))
-    # clamp: keeps sqrt's VJP finite for degenerate (padding/dummy) pairs
-    t = s_loc * jnp.sqrt(jnp.maximum(scale_sq, 1e-20))
+    # max-response depth: t = s_loc * sqrt(scale_sq) of the reference
+    # (gaussianfunctions.glsl:205-206) reduces to -(grdu.gro)/|grdu|^2
+    # because scale_sq = |R^T d|^2/|grdu|^2 = 1/|grdu|^2 for orthogonal R
+    # and unit d
+    dot_og = grdu[0] * gro[0] + grdu[1] * gro[1] + grdu[2] * gro[2]
+    t = -dot_og * inv_n2
 
     accept = ((resp > cfg.hit_min_response) & (alpha > cfg.alpha_min)
-              & (s_loc > 0.0) & (t >= tmin) & (t <= tmax))
+              & (dot_og < 0.0) & (t >= tmin) & (t <= tmax))
     alpha_eff = jnp.where(accept, alpha, 0.0)
 
-    # exclusive in-chunk prefix of log(1-alpha) via strict-lower-tri matmul
+    # exclusive in-chunk prefix of log(1-alpha) over the G axis
     la = jnp.log1p(-alpha_eff)                         # (G, R)
-    g = chunk.shape[0]
-    gi = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    l_strict = (gj < gi).astype(f32)
-    cums_excl = jnp.dot(l_strict, la, preferred_element_type=f32)
+    cums_excl = _exclusive_cumsum_g(la, cfg)
 
     t_before = t_in * jnp.exp(cums_excl)               # (G, R)
     active = t_before > cfg.min_transmittance
