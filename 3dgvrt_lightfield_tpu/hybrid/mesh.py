@@ -117,6 +117,9 @@ class MeshScene:
         self.objects: List[SceneObject] = []
         self.textures: List[np.ndarray] = []   # each (H, W, 4) float32
         self.env_map: Optional[np.ndarray] = None  # equirect (H, W, 3)
+        #: 6-face cubemap (6, S, S, 3) in Vulkan/KTX layer order
+        #: [+X, -X, +Y, -Y, +Z, -Z]; takes precedence over env_map
+        self.env_cube: Optional[np.ndarray] = None
 
     # -- construction ------------------------------------------------------
 
@@ -182,6 +185,7 @@ class MeshScene:
         out.objects = self.objects
         out.textures = self.textures
         out.env_map = self.env_map
+        out.env_cube = self.env_cube
         out.tri_pos = self.tri_pos.copy()
         out.tri_normal = self.tri_normal.copy()
         out.tri_uv = self.tri_uv

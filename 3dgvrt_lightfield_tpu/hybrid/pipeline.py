@@ -20,7 +20,8 @@ import numpy as np
 from .mesh import MeshScene
 from .shade import (AMBIENT, SHADOW_EPS, LightAttenuation, base_f0,
                     direct_lighting, procedural_sky, reflect, refract,
-                    sample_env_equirect, sample_texture_bilinear)
+                    sample_env_cube, sample_env_equirect,
+                    sample_texture_bilinear)
 from .trace import INF, TrianglePack, closest_hit, occluded, pack_triangles
 
 
@@ -53,8 +54,16 @@ class _DeviceScene:
         self.textures = [jnp.asarray(t) for t in scene.textures]
         self.env = (jnp.asarray(scene.env_map)
                     if scene.env_map is not None else None)
+        self.env_cube = (jnp.asarray(scene.env_cube)
+                         if getattr(scene, "env_cube", None) is not None
+                         else None)
 
     def background(self, dirs):
+        # cubemap first: the reference's miss path samples a KTX samplerCube
+        # (VulkanHybrid raygen.rgen:67-74); equirect and procedural sky are
+        # the fallbacks for scenes without one
+        if self.env_cube is not None:
+            return sample_env_cube(self.env_cube, dirs)
         if self.env is not None:
             return sample_env_equirect(self.env, dirs)
         return procedural_sky(dirs)

@@ -139,6 +139,50 @@ def sample_env_equirect(env: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return env[vi, ui]
 
 
+def sample_env_cube(faces: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Cubemap env lookup with Vulkan `samplerCube` semantics.
+
+    `faces` is (6, S, S, C) in the Vulkan/KTX layer order
+    [+X, -X, +Y, -Y, +Z, -Z]; face selection and the per-face (sc, tc)
+    coordinates follow the Vulkan spec's cube-map face table, so six PNG
+    faces here look exactly like the reference's KTX cubemap in its miss
+    shader (base/VulkanRTBase.cpp:3656, VulkanHybrid raygen.rgen:67-74).
+    Bilinear filtering, clamp-to-edge within the face.
+    """
+    s = faces.shape[1]
+    d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+                           1e-12)
+    rx, ry, rz = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(rx), jnp.abs(ry), jnp.abs(rz)
+
+    x_major = (ax >= ay) & (ax >= az)
+    y_major = (ay > ax) & (ay >= az)
+    face = jnp.where(
+        x_major, jnp.where(rx >= 0, 0, 1),
+        jnp.where(y_major, jnp.where(ry >= 0, 2, 3),
+                  jnp.where(rz >= 0, 4, 5))).astype(jnp.int32)
+
+    ma = jnp.where(x_major, ax, jnp.where(y_major, ay, az))
+    # Vulkan cube face table: (sc, tc) per face
+    sc = jnp.where(x_major, jnp.where(rx >= 0, -rz, rz),
+                   jnp.where(y_major, rx, jnp.where(rz >= 0, rx, -rx)))
+    tc = jnp.where(y_major, jnp.where(ry >= 0, rz, -rz), -ry)
+
+    inv = 0.5 / jnp.maximum(ma, 1e-12)
+    u = (sc * inv + 0.5) * s - 0.5
+    v = (tc * inv + 0.5) * s - 0.5
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, s - 1)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, s - 1)
+    u1 = jnp.minimum(u0 + 1, s - 1)
+    v1 = jnp.minimum(v0 + 1, s - 1)
+    fu = jnp.clip(u - u0, 0.0, 1.0)[..., None]
+    fv = jnp.clip(v - v0, 0.0, 1.0)[..., None]
+    return ((faces[face, v0, u0] * (1 - fu) + faces[face, v0, u1] * fu)
+            * (1 - fv)
+            + (faces[face, v1, u0] * (1 - fu) + faces[face, v1, u1] * fu)
+            * fv)
+
+
 def procedural_sky(dirs: jnp.ndarray) -> jnp.ndarray:
     """Fallback background when a scene ships no env map."""
     d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),

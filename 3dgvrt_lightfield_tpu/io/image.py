@@ -31,3 +31,18 @@ def load_png(path: str) -> np.ndarray:
     """Load a PNG as (H, W, C) uint8."""
     from PIL import Image
     return np.asarray(Image.open(path).convert("RGB"))
+
+
+def load_cubemap(paths) -> np.ndarray:
+    """Load 6 face PNGs [+X, -X, +Y, -Y, +Z, -Z] -> (6, S, S, 3) float32.
+
+    PNG-face stand-in for the reference's KTX cubemaps
+    (base/VulkanTexture.cpp loadCubemap, used at VulkanRTBase.cpp:3656);
+    faces follow the Vulkan/KTX layer order and must share one square size.
+    """
+    assert len(paths) == 6, "a cubemap needs exactly 6 faces (+X-X+Y-Y+Z-Z)"
+    faces = [np.asarray(load_png(p), np.float32) / 255.0 for p in paths]
+    s = faces[0].shape[0]
+    for f in faces:
+        assert f.shape == (s, s, 3), f"cube faces must be square {s}x{s}x3"
+    return np.stack(faces, axis=0)
