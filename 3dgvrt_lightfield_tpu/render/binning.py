@@ -300,13 +300,20 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
         jnp.ones((1,), jnp.int32),
         (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)])
 
-    # sorted pair -> padded slot, then ONE capacity-row scatter places ids
-    tile_sc = jnp.minimum(tile_sorted, num_tiles)
-    rank_s = jnp.arange(capacity, dtype=jnp.int32) - starts[tile_sc]
+    # sorted pair -> padded slot: dest = p + (padded_starts - starts)[tile(p)].
+    # The offset delta is non-decreasing over sorted pairs (padding only ever
+    # adds), so a tiny scatter at tile edges + cummax replaces two
+    # capacity-row gathers (measured 17.7 -> ~1 ms at 1M pairs on v5e)
+    diff = padded_starts - starts          # (num_tiles + 1,) non-decreasing
+    fill = jnp.zeros((capacity,), jnp.int32)
+    fill = fill.at[tile_edges[:num_tiles]].max(diff[:num_tiles], mode="drop")
+    delta = jax.lax.cummax(fill)
     keep = tile_sorted < num_tiles
-    dest = padded_starts[tile_sc] + rank_s
+    dest_drop = jnp.where(keep, p_idx + delta, capacity_padded)
+    # id indirection: ONE narrow int scatter (measured ~3 ms/1M rows on v5e;
+    # scattering the 64-col parameter rows directly costs ~3x a gather, so
+    # the wide data moves by GATHER below)
     pair_gauss = jnp.full((capacity_padded,), n, jnp.int32)
-    dest_drop = jnp.where(keep, dest, capacity_padded)
     pair_gauss = pair_gauss.at[dest_drop].set(g_sorted, mode="drop")
 
     # gather fused per-pair data (dummy row N has density 0 / identity frame).

@@ -29,10 +29,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Speed-of-light rays/s for the bench scene on one v5e chip, derived in
-# PROFILE.md from measured VPU/MXU/HBM microbenchmarks (scripts/
-# tpu_microbench.py) and counted per-pair-ray ops of the fused kernels.
-ROOFLINE_RAYS_PER_S = float(os.environ.get("GVRT_ROOFLINE", 100e6))
+def roofline_rays_per_s(width, height, cap, cap_pad, rays_per_tile):
+    """Speed-of-light rays/s for THIS scene on one v5e chip (PROFILE.md §4).
+
+    Measured hardware rates (scripts/tpu_microbench.py): VPU 2.02 Tflop/s
+    f32, transcendentals ~0.5 T/s, HBM 587 GB/s, random rows 5.4 ns gather /
+    3.2 ns int scatter.  Counted work per (gaussian, ray) pair eval of the
+    v2 chunk math: ~88 VPU flops + 4 transcendentals.  Padding slots compute
+    too, so pair evals = cap_pad * R.
+    """
+    vpu, transc, hbm = 2.02e12, 0.5e12, 587e9
+    g_row, s_row = 5.4e-9, 3.2e-9
+    pair_evals = cap_pad * rays_per_tile
+    t_fwd = pair_evals * (88 / vpu + 4 / transc)
+    t_bwd = 2.0 * t_fwd + 2 * cap_pad * 64 * 4 / hbm   # recompute + bar HBM
+    t_bin = cap * (2 * g_row + s_row) + cap_pad * g_row + 0.002  # rows + sort
+    t_red = cap * g_row + 2 * cap * 64 * 4 / hbm
+    return width * height / (t_fwd + t_bwd + t_bin + t_red + 0.001)
 
 
 def log(msg):
@@ -179,11 +192,15 @@ def main():
         f"({width * height / best_f / 1e6:.1f} Mrays/s) "
         f"[reference fps protocol analog: base/benchmark.hpp:37-104]")
 
+    roofline = float(os.environ.get("GVRT_ROOFLINE", 0)) or roofline_rays_per_s(
+        width, height, *renderer.capacity, cfg.tile_size * cfg.tile_size)
+    log(f"bench: derived roofline {roofline / 1e6:.1f} Mrays/s "
+        f"(fwd+bwd, this scene; PROFILE.md section 4)")
     print(json.dumps({
         "metric": "rays_per_sec_fwd_bwd_1080p_1chip",
         "value": rays_per_s,
         "unit": "rays/s",
-        "vs_baseline": rays_per_s / ROOFLINE_RAYS_PER_S,
+        "vs_baseline": rays_per_s / roofline,
     }))
 
 

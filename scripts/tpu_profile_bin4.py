@@ -119,12 +119,13 @@ def staged_bin(act, stage):
     if stage == "edges":
         return chunk_tile.sum() + tile_counts.sum()
 
-    tile_sc = jnp.minimum(tile_sorted, num_tiles)
-    rank_s = jnp.arange(capacity, dtype=jnp.int32) - starts[tile_sc]
+    diff = padded_starts - starts
+    fill = jnp.zeros((capacity,), jnp.int32)
+    fill = fill.at[tile_edges[:num_tiles]].max(diff[:num_tiles], mode="drop")
+    delta = jax.lax.cummax(fill)
     keep = tile_sorted < num_tiles
-    dest = padded_starts[tile_sc] + rank_s
+    dest_drop = jnp.where(keep, p_idx + delta, capacity_padded)
     pair_gauss = jnp.full((capacity_padded,), n, jnp.int32)
-    dest_drop = jnp.where(keep, dest, capacity_padded)
     pair_gauss = pair_gauss.at[dest_drop].set(g_sorted, mode="drop")
     if stage == "place":
         return pair_gauss.sum()
