@@ -1,0 +1,112 @@
+"""Banded (bounded-memory) rendering: sequential tile-row bands on ONE chip.
+
+BASELINE config[2] (garden-scale: ~5M Gaussians at 1080p) cannot materialize
+the full per-pair chunk array: pairs scale with scene size and the fused
+pipeline's working set is O(pairs) (~256 B/pair forward + the same again for
+backward cotangents — multi-GB at that scale).  The TPU-idiomatic answer is
+streaming over a bounded working set, not per-pair in-kernel DMA (~1M tiny
+DMAs/frame would be latency-bound):
+
+  * the image's tile rows are split into `n_bands` round-robin bands (the
+    same banding the multi-chip tile-sharding path uses,
+    parallel/sharding.py — there sharded over devices, here SCANNED over
+    sequentially on one device),
+  * `lax.scan` + `jax.checkpoint` over bands: forward holds ONE band's
+    binning (O(pairs/n_bands)), backward rematerializes each band's binning
+    + kernel forward instead of storing residuals — peak HBM becomes
+    O(N + pairs/n_bands) for forward AND backward,
+  * gradients accumulate across bands through the scan's linearization —
+    images match the unbanded render exactly (band binning is full binning
+    restricted to the band's tile rows); gradients match up to float
+    summation order for gaussians that straddle band boundaries.
+
+Reference analog: SplitBLAS partitions the acceleration structure into grid
+cells for the same at-scale motivation (SplitBLAS.cpp:678-752).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig, DEFAULT_CONFIG
+from ..models.gaussians import GaussianModel
+from .binning import (band_rays, bin_gaussians, plan_capacity, unband_image,
+                      untile)
+from .pallas_forward import forward_tiles, forward_tiles_reference
+from .tiled import _camera_mats, _resolve_impl
+
+
+def plan_capacity_banded(model: GaussianModel, camera, n_bands: int,
+                         cfg: RenderConfig = DEFAULT_CONFIG,
+                         slack: float = 1.3):
+    """Static (capacity, capacity_padded) = max over the bands' plans."""
+    act = model.activate()
+    w2c, proj = _camera_mats(camera)
+    cap = cap_pad = 0
+    for off in range(n_bands):
+        c, cp = plan_capacity(act, w2c, proj, camera.width, camera.height,
+                              cfg, slack=slack, band=(off, n_bands))
+        cap, cap_pad = max(cap, c), max(cap_pad, cp)
+    return cap, cap_pad
+
+
+@partial(jax.jit, static_argnames=("width", "height", "n_bands", "cfg",
+                                   "cap", "cap_pad", "impl"))
+def _render_banded(act, w2c, proj, rays_bands, width, height, n_bands, cfg,
+                   cap, cap_pad, impl):
+    offsets = jnp.arange(n_bands, dtype=jnp.int32)
+    lh = height // n_bands
+
+    def body(overflow, inp):
+        rays_b, off = inp
+        binned = bin_gaussians(act, w2c, proj, width, height, cfg, cap,
+                               cap_pad, row_offset=off, row_stride=n_bands)
+        if impl == "pallas":
+            acc = forward_tiles(binned, rays_b, cfg, interpret=False)
+        elif impl == "interpret":
+            acc = forward_tiles(binned, rays_b, cfg, interpret=True)
+        else:
+            acc = forward_tiles_reference(binned, rays_b, cfg)
+        img = untile(acc, width, lh, cfg.tile_size)
+        return overflow + binned.overflow, img
+
+    # checkpoint: backward re-bins + re-runs the band forward instead of
+    # storing each band's O(pairs/n_bands) residuals
+    overflow, bands = jax.lax.scan(jax.checkpoint(body),
+                                   jnp.zeros((), jnp.int32),
+                                   (rays_bands, offsets))
+    img = unband_image(bands, width, height, cfg.tile_size)
+    return img, overflow
+
+
+def render_image_banded(model: GaussianModel, camera, n_bands: int,
+                        cfg: RenderConfig = DEFAULT_CONFIG,
+                        capacity: Optional[tuple] = None, impl: str = "auto"):
+    """Render one camera in `n_bands` sequential tile-row bands.
+
+    Differentiable end-to-end; equals the unbanded `render_image_tiled`
+    exactly (same binning restricted per band).  Peak per-pair memory is
+    1/n_bands of the unbanded pipeline for both forward and backward.
+    """
+    impl = _resolve_impl(impl)
+    width, height = camera.width, camera.height
+    ts = cfg.tile_size
+    assert (height // ts) % n_bands == 0, (height, ts, n_bands)
+    if capacity is None:
+        capacity = plan_capacity_banded(model, camera, n_bands, cfg)
+    act = model.activate()
+    w2c, proj = _camera_mats(camera)
+    rays_bands = band_rays(camera, cfg, n_bands)
+    img, overflow = _render_banded(act, w2c, proj, rays_bands, width, height,
+                                   n_bands, cfg, *capacity, impl)
+    return {
+        "rgb": img[..., 0:3],
+        "depth": img[..., 3],
+        "transmittance": img[..., 4],
+        "hit_count": img[..., 5],
+        "overflow": overflow,
+    }
