@@ -74,6 +74,9 @@ def _common(p):
                    choices=["auto", "pallas", "interpret", "scan"])
     p.add_argument("--filter-abnormal", action="store_true",
                    help="drop abnormal particles (enclosing-pass filter)")
+    p.add_argument("--bands", type=int, default=0,
+                   help="render in N sequential tile-row bands (bounded "
+                        "memory for garden-scale scenes; render/banded.py)")
 
 
 def _dump_poses(cams, path):
@@ -96,13 +99,24 @@ def cmd_render(args):
     from .render.tiled import TiledRenderer
     model = _load_model(args)
     cams = _cameras(args, model)[: args.frames]
-    r = TiledRenderer(args.width, args.height, DEFAULT_CONFIG, impl=args.impl)
-    r.plan(model, cams[: min(4, len(cams))])
+    if args.bands:
+        from .render.banded import render_image_banded, plan_capacity_banded
+        capacity = plan_capacity_banded(model, cams[0], args.bands,
+                                        DEFAULT_CONFIG)
+        r = None
+    else:
+        r = TiledRenderer(args.width, args.height, DEFAULT_CONFIG,
+                          impl=args.impl)
+        r.plan(model, cams[: min(4, len(cams))])
     os.makedirs(args.out, exist_ok=True)
     if args.dump_poses:
         _dump_poses(cams, os.path.join(args.out, "camera_poses.json"))
     for i, cam in enumerate(cams):
-        out = r.render(model, cam)
+        if args.bands:
+            out = render_image_banded(model, cam, args.bands, DEFAULT_CONFIG,
+                                      capacity=capacity, impl=args.impl)
+        else:
+            out = r.render(model, cam)
         path = os.path.join(args.out, f"{cam.name or i}.png")
         save_png(path, np.asarray(out["rgb"]))
         print(path)

@@ -1,0 +1,126 @@
+"""BASELINE config[2]: garden-scale scene (5M Gaussians) at 1080p, one chip.
+
+Runs the banded bounded-memory pipeline (render/banded.py) forward and
+forward+backward, amortized over chained frames, and reports rays/s, pair
+counts, band capacities, peak HBM (when the runtime exposes memory_stats),
+and overflow.  Reference motivation: SplitBLAS exists exactly because
+monolithic acceleration structures stop scaling (SplitBLAS.cpp:678-752).
+
+Usage: python scripts/config2_scale.py [n_gauss] [n_bands] [W H]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import gvrt_tpu as g3
+from gvrt_tpu.render.banded import render_image_banded, plan_capacity_banded
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+BANDS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+W = int(sys.argv[3]) if len(sys.argv) > 3 else 1920
+H = int(sys.argv[4]) if len(sys.argv) > 4 else 1088
+K = int(os.environ.get("GVRT_CHAIN", 4))
+
+cfg = g3.DEFAULT_CONFIG
+# garden-like: big scene extent, sub-pixel to few-pixel gaussians
+model = g3.random_gaussians(jax.random.key(0), N, extent=2.0,
+                            scale_range=(-7.5, -5.5))
+model.means = model.means.at[:, 2].add(-4.0)
+cam = g3.Camera.from_fovy(W, H, 60.0, np.eye(4))
+
+t0 = time.time()
+cap, cap_pad = plan_capacity_banded(model, cam, BANDS, cfg)
+print(f"plan: {time.time()-t0:.1f}s  band capacity {(cap, cap_pad)} "
+      f"(pairs/band ~{cap}, x{BANDS} bands)", flush=True)
+print(f"per-band chunk array: {cap_pad * 64 * 4 / 1e9:.2f} GB "
+      f"(unbanded would be ~{BANDS * cap_pad * 64 * 4 / 1e9:.1f} GB "
+      f"fwd + the same again for backward cotangents)", flush=True)
+
+target = jnp.zeros((H, W, 3)) + 0.3
+
+
+def loss(m):
+    out = render_image_banded(m, cam, BANDS, cfg, capacity=(cap, cap_pad))
+    return jnp.mean((out["rgb"] - target) ** 2), out
+
+
+def sync(x):
+    _ = np.asarray(jnp.ravel(jax.tree.leaves(x)[0])[0])
+    return x
+
+
+@jax.jit
+def probe(m):
+    (val, out), grads = jax.value_and_grad(loss, has_aux=True)(m)
+    return (val, jnp.mean(out["hit_count"]), out["overflow"],
+            jnp.linalg.norm(grads.means))
+
+
+t0 = time.time()
+val, hits, ovf, gnorm = map(float, probe(model))
+print(f"compile+first fwd+bwd: {time.time()-t0:.1f}s  loss {val:.4f} "
+      f"mean hits/ray {hits:.2f}  overflow {ovf:.0f}  |g_means| {gnorm:.2e}",
+      flush=True)
+assert np.isfinite(val) and gnorm > 0
+dev = jax.local_devices()[0]
+stats = getattr(dev, "memory_stats", lambda: None)()
+if stats:
+    print(f"peak HBM: {stats.get('peak_bytes_in_use', 0)/1e9:.2f} GB "
+          f"(limit {stats.get('bytes_limit', 0)/1e9:.1f} GB)", flush=True)
+
+
+@jax.jit
+def train_k(m):
+    def body(i, carry):
+        m, acc = carry
+        (val, _), grads = jax.value_and_grad(loss, has_aux=True)(m)
+        m = jax.tree.map(lambda p, g: p - 1e-12 * g, m, grads)
+        return (m, acc + val)
+    return jax.lax.fori_loop(0, K, body, (m, 0.0))
+
+
+sync(train_k(model))
+best = 1e30
+for _ in range(2):
+    t0 = time.time()
+    sync(train_k(model))
+    best = min(best, (time.time() - t0) / K)
+print(f"fwd+bwd: {best*1e3:.1f} ms/frame  "
+      f"({W*H/best/1e6:.1f} Mrays/s)", flush=True)
+
+import dataclasses
+
+
+@jax.jit
+def fwd_k(m):
+    def body(i, carry):
+        m, acc = carry
+        val, _ = loss(m)
+        m = dataclasses.replace(m, means=m.means + 0.0 * val)
+        return (m, acc + val)
+    return jax.lax.fori_loop(0, K, body, (m, 0.0))
+
+
+sync(fwd_k(model))
+best_f = 1e30
+for _ in range(2):
+    t0 = time.time()
+    sync(fwd_k(model))
+    best_f = min(best_f, (time.time() - t0) / K)
+print(f"fwd-only: {best_f*1e3:.1f} ms/frame  "
+      f"({W*H/best_f/1e6:.1f} Mrays/s)", flush=True)
+
+print(json.dumps({
+    "config": 2, "n_gauss": N, "bands": BANDS, "res": [W, H],
+    "band_capacity": [cap, cap_pad],
+    "fwd_bwd_ms": best * 1e3, "fwd_ms": best_f * 1e3,
+    "rays_per_s_fwd_bwd": W * H / best,
+    "mean_hits": hits, "overflow": ovf,
+    "peak_hbm_gb": (stats or {}).get("peak_bytes_in_use", 0) / 1e9,
+}), flush=True)

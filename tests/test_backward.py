@@ -1,5 +1,6 @@
 """Hand-written Pallas backward vs scan-autodiff vs brute-force autodiff."""
 
+import os
 import dataclasses
 
 import numpy as np
@@ -10,6 +11,9 @@ import pytest
 import gvrt_tpu as g3
 from gvrt_tpu.render import binning
 from gvrt_tpu.render.tiled import TiledRenderer, _camera_mats
+
+# compiled Mosaic kernels on the real chip, interpreter elsewhere
+IMPL_PL = "pallas" if os.environ.get("GVRT_TEST_TPU") else "interpret"
 
 CFG = g3.DEFAULT_CONFIG.replace(tile_size=8, chunk_size=128)
 
@@ -35,7 +39,7 @@ def test_pallas_backward_matches_scan_autodiff(res):
     target = jnp.zeros((res, res, 3)) + 0.25
 
     r_scan = TiledRenderer(res, res, CFG, impl="scan")
-    r_pl = TiledRenderer(res, res, CFG, impl="interpret")
+    r_pl = TiledRenderer(res, res, CFG, impl=IMPL_PL)
     cap = r_scan.plan(model, [cam])
     r_pl.capacity = cap
 
@@ -63,7 +67,7 @@ def test_pallas_backward_matches_brute_force_autodiff():
     cam = g3.Camera.from_fovy(res, res, 60.0, np.eye(4))
     target = jnp.zeros((res, res, 3)) + 0.25
 
-    r_pl = TiledRenderer(res, res, CFG, impl="interpret")
+    r_pl = TiledRenderer(res, res, CFG, impl=IMPL_PL)
     r_pl.plan(model, [cam])
     g_tiled = jax.grad(_loss_fn(r_pl, cam, target))(model)
 
@@ -98,7 +102,7 @@ def test_backward_with_saturated_rays():
     )
     res = 8
     cam = g3.Camera.from_fovy(res, res, 60.0, np.eye(4))
-    r_pl = TiledRenderer(res, res, CFG, impl="interpret")
+    r_pl = TiledRenderer(res, res, CFG, impl=IMPL_PL)
     r_scan = TiledRenderer(res, res, CFG, impl="scan")
     cap = r_scan.plan(model, [cam])
     r_pl.capacity = cap

@@ -5,6 +5,7 @@ lax.scan + jax.checkpoint; band binning is full binning restricted to the
 band's rows, so outputs must match the unbanded pipeline bit-for-bit (same
 math, same order within each tile).
 """
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,9 @@ import jax.numpy as jnp
 import gvrt_tpu as g3
 from gvrt_tpu.render.banded import render_image_banded, plan_capacity_banded
 from gvrt_tpu.render.tiled import render_image_tiled
+
+# compiled Mosaic kernels on the real chip, interpreter elsewhere
+IMPL_PL = "pallas" if os.environ.get("GVRT_TEST_TPU") else "interpret"
 
 CFG = g3.DEFAULT_CONFIG.replace(tile_size=8, chunk_size=32)
 
@@ -74,7 +78,7 @@ def test_banded_grads_match_unbanded():
 def test_banded_pallas_interpret_matches_scan():
     model = _scene(80, seed=5)
     cam = g3.Camera.from_fovy(16, 16, 60.0, np.eye(4))
-    a = render_image_banded(model, cam, 2, CFG, impl="interpret")
+    a = render_image_banded(model, cam, 2, CFG, impl=IMPL_PL)
     b = render_image_banded(model, cam, 2, CFG, impl="scan")
     np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
                                atol=1e-5)

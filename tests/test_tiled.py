@@ -1,5 +1,6 @@
 """Tiled renderer: binning invariants + scan/Pallas/brute-force consistency."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,9 @@ import gvrt_tpu as g3
 from gvrt_tpu.render import binning
 from gvrt_tpu.render.reference import render_image
 from gvrt_tpu.render.tiled import render_image_tiled, _camera_mats
+
+# compiled Mosaic kernels on the real chip, interpreter elsewhere
+IMPL_PL = "pallas" if os.environ.get("GVRT_TEST_TPU") else "interpret"
 
 
 def _scene(n=128, seed=0, spread=0.8):
@@ -91,7 +95,7 @@ def test_pallas_interpret_matches_scan():
     model = _scene(96, seed=3)
     cam = _camera(16)
     out_scan = render_image_tiled(model, cam, CFG, impl="scan")
-    out_pl = render_image_tiled(model, cam, CFG, impl="interpret")
+    out_pl = render_image_tiled(model, cam, CFG, impl=IMPL_PL)
     np.testing.assert_allclose(np.asarray(out_pl["rgb"]),
                                np.asarray(out_scan["rgb"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_pl["transmittance"]),
