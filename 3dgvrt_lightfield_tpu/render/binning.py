@@ -397,18 +397,22 @@ def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
     return capacity, capacity_padded
 
 
-def tile_rays(camera, cfg: RenderConfig, aabb=None):
+def tile_rays(camera, cfg: RenderConfig, aabb=None, tmax_clip=None):
     """Per-pixel rays + AABB clip range + SH basis, tiled to (T, 24, R).
 
     Rows 0:8 are [o, d, tmin, tmax]; rows 8:24 are the 16 SH basis values of
     the ray direction (zero above (sh_degree+1)^2), precomputed here so the
-    fused kernels never re-evaluate the basis polynomials per chunk."""
+    fused kernels never re-evaluate the basis polynomials per chunk.
+    `tmax_clip` (H, W) optionally caps each ray's march distance (combined
+    gaussian+mesh scenes: opaque surfaces terminate the march)."""
     ts = cfg.tile_size
     o, d = camera.rays()
     h, w = o.shape[:2]
     assert h % ts == 0 and w % ts == 0, (h, w, ts)
     d = jnp.asarray(d)
     tmin, tmax = intersect_aabb(aabb or cfg.aabb, jnp.asarray(o), d)
+    if tmax_clip is not None:
+        tmax = jnp.minimum(tmax, tmax_clip)
     basis = sh_basis_components(d[..., 0], d[..., 1], d[..., 2],
                                 cfg.sh_degree)
     basis += [jnp.zeros_like(d[..., 0])] * (16 - len(basis))

@@ -1,0 +1,106 @@
+"""Combined scene: Gaussian ray march + opaque glTF/mesh geometry, one render.
+
+Parity target: the reference's `LOAD_GLTF` FullRT variant loads a glTF mesh
+next to the Gaussian model and builds a second TLAS with shadow hit groups
+(VulkanFullRT.cpp:922-927, 1427-1441; base/Define.h:42).  In the reference
+that path ships disabled and half-finished (the shadow closest-hit shader,
+shaders/glsl/VulkanFullRT/shadow.rchit, is entirely commented out); here the
+capability is implemented to completion with TPU-native passes:
+
+  1. mesh pass: per-pixel closest triangle hit (hybrid.trace) + GGX local
+     shading with mesh-vs-mesh shadow rays (hybrid.pipeline machinery),
+  2. gaussian pass: the standard tiled march with each ray's `tmax` clamped
+     to its mesh hit distance (binning.tile_rays tmax_clip) — surfaces
+     terminate the march exactly like the reference's payload tmax,
+  3. composite: out = gaussian_radiance + T_at_surface * mesh_color —
+     front-to-back alpha compositing with the mesh as the opaque tail
+     (raygen.rgen:140-184's termination semantics).
+
+Not modeled (documented deviation): gaussians do not cast shadows onto the
+mesh (the reference's commented-out shadow path never did either).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig, DEFAULT_CONFIG
+from ..hybrid.mesh import MeshScene
+from ..hybrid.pipeline import (HybridConfig, _DeviceScene, _shade_local,
+                               _surface_attributes)
+from ..hybrid.trace import closest_hit
+from ..models.gaussians import GaussianModel
+from .binning import bin_gaussians, plan_capacity, tile_rays, untile
+from .pallas_forward import forward_tiles, forward_tiles_reference
+from .tile_math import ACC_DEPTH, ACC_HITS, ACC_T
+from .tiled import _camera_mats, _resolve_impl
+
+
+def _mesh_pass(dev: _DeviceScene, hcfg: HybridConfig, camera):
+    """Closest-hit + local shading for every pixel; inf t where missed."""
+    o, d = camera.rays()
+    h, w = o.shape[:2]
+    rays = jnp.concatenate([jnp.asarray(o).reshape(-1, 3),
+                            jnp.asarray(d).reshape(-1, 3)], axis=1)
+    hit = closest_hit(rays, dev.tris,
+                      tmin=jnp.full((rays.shape[0],), 1e-3))
+    missed = hit["tri"] < 0
+    surf = _surface_attributes(dev, hit, rays)
+    cam_pos = jnp.asarray(np.asarray(camera.view_inverse)[:3, 3], jnp.float32)
+    view = cam_pos - surf["pos"]
+    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True),
+                              1e-12)
+    color = _shade_local(dev, hcfg, surf, view)
+    color = jnp.where(missed[:, None], 0.0, color)
+    t_mesh = jnp.where(missed, jnp.inf, hit["t"])
+    return color.reshape(h, w, 3), t_mesh.reshape(h, w)
+
+
+def render_combined(model: GaussianModel, scene: MeshScene, camera,
+                    cfg: RenderConfig = DEFAULT_CONFIG,
+                    hcfg: HybridConfig = HybridConfig(),
+                    impl: str = "auto",
+                    capacity: Optional[tuple] = None):
+    """Render Gaussians and an opaque mesh scene in one frame.
+
+    Returns the tiled-renderer output dict plus `mesh_t` (per-pixel surface
+    distance, inf where no mesh).  Differentiable w.r.t. the Gaussian model
+    (the mesh pass carries no gradient into the march's clip distances'
+    values — tmax only gates accept tests).
+    """
+    impl = _resolve_impl(impl)
+    width, height = camera.width, camera.height
+    dev = _DeviceScene(scene, hcfg)
+    mesh_rgb, t_mesh = _mesh_pass(dev, hcfg, camera)
+    t_mesh = jax.lax.stop_gradient(t_mesh)
+
+    act = model.activate()
+    w2c, proj = _camera_mats(camera)
+    if capacity is None:
+        capacity = plan_capacity(act, w2c, proj, width, height, cfg)
+    rays = tile_rays(camera, cfg, tmax_clip=t_mesh)
+    binned = bin_gaussians(act, w2c, proj, width, height, cfg, *capacity)
+    if impl == "pallas":
+        acc = forward_tiles(binned, rays, cfg, interpret=False)
+    elif impl == "interpret":
+        acc = forward_tiles(binned, rays, cfg, interpret=True)
+    else:
+        acc = forward_tiles_reference(binned, rays, cfg)
+    img = untile(acc, width, height, cfg.tile_size)
+
+    transmittance = img[..., ACC_T]
+    rgb = img[..., 0:3] + transmittance[..., None] * mesh_rgb
+    return {
+        "rgb": rgb,
+        "gaussian_rgb": img[..., 0:3],
+        "mesh_rgb": mesh_rgb,
+        "mesh_t": t_mesh,
+        "depth": img[..., ACC_DEPTH],
+        "transmittance": transmittance,
+        "hit_count": img[..., ACC_HITS],
+        "overflow": binned.overflow,
+    }

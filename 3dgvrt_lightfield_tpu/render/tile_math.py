@@ -11,10 +11,10 @@ lanes), with three exact identities that remove most per-pair work:
   * the world->unit-local frame is prefolded per Gaussian into ONE affine map
     ``M = diag(1/s) @ R^T`` and offset ``b = M @ mean`` at binning time, so the
     kernel's frame transform is 9 MACs per pair instead of scale+rotate,
-  * ray origins are shared per tile (pinhole camera: every pixel's ray starts
-    at the camera center, raygen.rgen:116-121), so the local origin
-    ``gro = M @ o - b`` is a per-Gaussian (G, 1) quantity — only the
-    direction transform ``grdu = M @ d`` is per-pair work,
+  * the local origin is ``gro = M @ o - b`` and the direction transform is
+    ``grdu = M @ d`` (both computed at full (G, R) width: a (G, 1) hoisted
+    origin is algebraically cheaper for pinhole cameras but measured 40%
+    SLOWER under Mosaic — see the note in `chunk_core`),
   * normalization is deferred: with ``n2 = |grdu|^2``,
     ``grayDist = |cross(grdu, gro)|^2 / n2`` and (because R is orthogonal and
     |d| = 1) the max-response depth collapses to ``t = -(grdu . gro) / n2``
@@ -28,9 +28,9 @@ exactly like `radianceFromSpH` (clamped=true).
 
 Data layouts:
   rays  (24, R): rows [ox oy oz dx dy dz tmin tmax | 16 SH basis rows]
-                 — all R ray origins in a tile MUST be identical (pinhole);
-                 the direction-only SH basis is precomputed once per tile by
-                 binning.tile_rays (zero-padded above (sh_degree+1)^2)
+                 — origins may vary per ray; the direction-only SH basis is
+                 precomputed once per tile by binning.tile_rays (zero-padded
+                 above (sh_degree+1)^2)
   acc   (8, R):  rows [r g b depth T hit_count pad pad]
   chunk (G, 64): cols [0:9 M row-major (world->unit-local, scale folded) |
                  9:12 b = M @ mean | 12 density | 13:16 pad |
@@ -101,8 +101,11 @@ def chunk_core(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
     hits (1, R)).
     """
     f32 = t_in.dtype
-    # pinhole: every ray in the tile shares one origin -> read column 0 only
-    o = [rays[j:j + 1, 0:1] for j in range(3)]        # 3 x (1, 1)
+    # NOTE: origins are per-ray (G, R) work even though a pinhole camera
+    # makes them tile-constant: the "hoisted" (G, 1) formulation measured
+    # 21 ms vs 15 ms per frame on v5e — Mosaic handles (G, 1)-shaped
+    # intermediates far worse than full-lane ops (scripts/tpu_kernel_ab2.py)
+    o = [rays[j:j + 1, :] for j in range(3)]          # 3 x (1, R)
     d = [rays[3 + j:4 + j, :] for j in range(3)]      # 3 x (1, R)
     tmin = rays[6:7, :]
     tmax = rays[7:8, :]

@@ -37,7 +37,7 @@ binned = jax.tree.map(lambda x: jax.device_put(np.asarray(x)), binned)
 orig_core = tile_math.chunk_core
 
 
-def make_core(inv_mode, hoist):
+def make_core(inv_mode, hoist, materialize=False):
     def core(rays, chunk, t_in, cfg):
         f32 = t_in.dtype
         if hoist:
@@ -56,6 +56,9 @@ def make_core(inv_mode, hoist):
                        + m[3 * i + 2] * o[2] - b[i])
             grdu.append(m[3 * i] * d[0] + m[3 * i + 1] * d[1]
                         + m[3 * i + 2] * d[2])
+        if materialize:
+            one_r = jnp.ones_like(d[0])
+            gro = [g * one_r for g in gro]
         nrm2 = grdu[0] * grdu[0] + grdu[1] * grdu[1] + grdu[2] * grdu[2]
         if inv_mode == "div":
             inv_n2 = 1.0 / jnp.maximum(nrm2, 1e-20)
@@ -124,7 +127,7 @@ def bench(core, label):
     tile_math.chunk_core = orig_core
 
 
-bench(make_core("div", True), "v2 div hoisted")
-bench(make_core("rsqrt", True), "v2 rsqrt hoisted")
-bench(make_core("rsqrt", False), "v2 rsqrt per-ray-origin")
+bench(make_core("div", True, True), "v2 div hoist+materialize")
+bench(make_core("rsqrt", True, True), "v2 rsqrt hoist+material")
+bench(make_core("div", False), "v2 div per-ray-origin")
 print("done", flush=True)
