@@ -78,3 +78,31 @@ def sigmoid(x: jnp.ndarray) -> jnp.ndarray:
 def scale_activation(scale_log: jnp.ndarray) -> jnp.ndarray:
     """Scale activation (particlePrimitives.comp:149)."""
     return jnp.exp(scale_log)
+
+
+def particle_response_grad(gray_dist: jnp.ndarray, resp: jnp.ndarray,
+                           degree: int = 4) -> jnp.ndarray:
+    """d(particle_response)/d(gray_dist), given the forward response.
+
+    Used by the hand-written backward kernel (render/tile_math.chunk_core_bwd)
+    so the transcendental is not recomputed.  Matches autodiff of
+    `particle_response` for each degree branch.
+    """
+    s = _RESPONSE_S.get(degree)
+    if degree == 8:
+        d2 = gray_dist * gray_dist
+        return resp * s * 4.0 * d2 * gray_dist
+    if degree == 5:
+        return resp * s * 2.5 * gray_dist * jnp.sqrt(gray_dist)
+    if degree == 4:
+        return resp * s * 2.0 * gray_dist
+    if degree == 3:
+        return resp * s * 1.5 * jnp.sqrt(gray_dist)
+    if degree == 1:
+        return resp * s * 0.5 / jnp.sqrt(jnp.maximum(gray_dist, 1e-20))
+    if degree == 0:
+        inner = 1.0 + s * jnp.sqrt(jnp.maximum(gray_dist, 1e-20))
+        return jnp.where(inner > 0.0,
+                         s * 0.5 / jnp.sqrt(jnp.maximum(gray_dist, 1e-20)),
+                         0.0)
+    return -0.5 * resp

@@ -338,6 +338,10 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     # output (num_chunks, G, 64) needs no transpose
     rows64 = jnp.concatenate(
         [geom_rows, sh_all[..., 0], sh_all[..., 1], sh_all[..., 2]], axis=1)
+    # force the packed table to materialize: XLA otherwise fuses the concat
+    # INTO the gather, turning every gathered row into ~6 scattered source
+    # reads (measured 14 ms vs 7 ms for the same gather on v5e)
+    rows64 = jax.lax.optimization_barrier(rows64)
     chunks64 = chunked_gather(g, rows64, pair_gauss, p_sorted, dest_drop,
                               offsets, counts)
 

@@ -16,9 +16,10 @@ through the sorted, early-terminated composite.  Design:
     num_chunks-1-c); because chunks of a tile are contiguous, each tile's
     cotangent carry bar_T stays VMEM-resident exactly like the forward
     accumulator.
-  * Inside the kernel the per-chunk gradients come from `jax.vjp` of
-    `chunk_core` — Pallas traces through it, so the math is autodiff-exact
-    while the schedule (chunking, residency, reverse order) is hand-written.
+  * Inside the kernel the per-chunk gradients come from the HAND-DERIVED
+    VJP `tile_math.chunk_core_bwd` (validated against jax.vjp of chunk_core
+    in tests/test_backward.py): one shared forward recompute, full-lane
+    intermediates — measured faster than the jax.vjp-traced graph.
   * Trailing dead capacity chunks (tile id == num_tiles) are mapped onto the
     last real chunk's block index via the prefetched `chunk_src` array: the
     Pallas pipeline skips re-DMA for repeated indices, so dead chunks cost
@@ -43,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from .tile_math import ACC_T, RAY_ROWS, chunk_core, chunk_update
+from .tile_math import ACC_T, RAY_ROWS, chunk_core_bwd, chunk_update
 
 
 #: chunks of T_in residual packed per block row (Mosaic needs >=8 sublanes)
@@ -98,16 +99,13 @@ def _bwd_kernel(ct_ref, cl_ref, cs_ref, rays_ref, chunk_ref, tin_ref,
 
     @pl.when(alive)
     def _():
-        def f(chunk, t_in):
-            return chunk_core(rays_ref[0], chunk, t_in, cfg)
-
-        _, vjp = jax.vjp(f, chunk_ref[0], t_in)
-        r = t_in.shape[1]
-        cot = (bar_t_ref[0, 0, :][None, :],        # d/d t_out (carry)
-               bar_acc_ref[0, 0:3, :],             # d/d rgb_contrib
-               bar_acc_ref[0, 3:4, :],             # d/d depth_contrib
-               jnp.zeros((1, r), jnp.float32))     # hit counts: no gradient
-        bc, bt = vjp(cot)
+        # hand-derived VJP (tile_math.chunk_core_bwd): one shared forward
+        # recompute, full-lane intermediates; cotangents are the carried
+        # d/d t_out plus the additive rgb/depth heads (hit counts: no grad)
+        bc, bt = chunk_core_bwd(rays_ref[0], chunk_ref[0], t_in,
+                                bar_t_ref[0, 0, :][None, :],
+                                bar_acc_ref[0, 0:3, :],
+                                bar_acc_ref[0, 3:4, :], cfg)
         bar_chunk_ref[0] = bc
         bar_t_ref[0, 0, :] = bt[0, :]
 

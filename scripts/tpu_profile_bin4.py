@@ -144,6 +144,7 @@ def staged_bin(act, stage):
                               jnp.zeros((1, 16, 3))], axis=0)
     rows64 = jnp.concatenate(
         [geom_rows, sh_all[..., 0], sh_all[..., 1], sh_all[..., 2]], axis=1)
+    rows64 = jax.lax.optimization_barrier(rows64)
     chunks64 = chunked_gather(g, rows64, pair_gauss, p_sorted, dest_drop,
                               offsets, counts)
     return chunks64[:, :, 0].sum()
