@@ -101,8 +101,12 @@ def cmd_render(args):
     cams = _cameras(args, model)[: args.frames]
     if args.bands:
         from .render.banded import render_image_banded, plan_capacity_banded
-        capacity = plan_capacity_banded(model, cams[0], args.bands,
-                                        DEFAULT_CONFIG)
+        # plan over up to 4 representative cameras (like the unbanded path):
+        # a plan from cams[0] alone silently truncates later frames' pairs
+        capacity = (0, 0)
+        for c in cams[: min(4, len(cams))]:
+            cap = plan_capacity_banded(model, c, args.bands, DEFAULT_CONFIG)
+            capacity = (max(capacity[0], cap[0]), max(capacity[1], cap[1]))
         r = None
     else:
         r = TiledRenderer(args.width, args.height, DEFAULT_CONFIG,
@@ -115,6 +119,18 @@ def cmd_render(args):
         if args.bands:
             out = render_image_banded(model, cam, args.bands, DEFAULT_CONFIG,
                                       capacity=capacity, impl=args.impl)
+            if int(out["overflow"]) > 0:
+                # capacity overflow drops pairs; re-plan for THIS camera
+                # and re-render once (TiledRenderer.render does the same)
+                cap = plan_capacity_banded(model, cam, args.bands,
+                                           DEFAULT_CONFIG)
+                capacity = (max(capacity[0], cap[0]),
+                            max(capacity[1], cap[1]))
+                print(f"overflow -> re-planned capacity {capacity}",
+                      file=sys.stderr)
+                out = render_image_banded(model, cam, args.bands,
+                                          DEFAULT_CONFIG, capacity=capacity,
+                                          impl=args.impl)
         else:
             out = r.render(model, cam)
         path = os.path.join(args.out, f"{cam.name or i}.png")
@@ -210,14 +226,17 @@ def cmd_train(args):
         if restored is not None:
             start_step = restored + 1
             print(f"resumed from checkpoint step {restored}")
-    bsz = args.batch
     rng = np.random.default_rng(0)
-    # held-out PSNR tracking (BASELINE config[4]) on the eval renderer
+    # held-out PSNR tracking (BASELINE config[4]) on the eval renderer;
+    # cams[0] is the eval view and is EXCLUDED from the training pool
+    # (sampling it would make the "held-out" PSNR a training metric)
     from .utils.metrics import psnr
     eval_r = TiledRenderer(args.width, args.height, DEFAULT_CONFIG,
                            capacity=capacity, impl=args.impl)
+    train_pool = np.arange(1, len(cams)) if len(cams) > 1 else np.arange(1)
+    bsz = min(args.batch, len(train_pool))
     for step in range(start_step, args.steps):
-        idx = rng.choice(len(cams), size=bsz, replace=False)
+        idx = rng.choice(train_pool, size=bsz, replace=False)
         batch = camera_batch([cams[i] for i in idx], DEFAULT_CONFIG)
         tgt = jnp.stack([jnp.asarray(targets[i]) for i in idx])
         state, loss = trainer.step(state, batch, tgt)

@@ -29,7 +29,7 @@ from ..config import RenderConfig, DEFAULT_CONFIG
 from ..models.gaussians import GaussianModel
 from ..render.binning import (band_rays, bin_gaussians, plan_capacity,
                               tile_rays, unband_image, untile)
-from ..render.pallas_forward import forward_tiles, forward_tiles_reference
+from ..render.pallas_forward import forward_dispatch
 from ..render.tile_math import ACC_T
 from ..render.tiled import _camera_mats, _resolve_impl
 
@@ -61,12 +61,7 @@ def camera_batch(cameras: Sequence, cfg: RenderConfig) -> CameraBatch:
 
 def _render_one(act, w2c, proj, rays, width, height, cfg, cap, cap_pad, impl):
     binned = bin_gaussians(act, w2c, proj, width, height, cfg, cap, cap_pad)
-    if impl == "pallas":
-        acc = forward_tiles(binned, rays, cfg, interpret=False)
-    elif impl == "interpret":
-        acc = forward_tiles(binned, rays, cfg, interpret=True)
-    else:
-        acc = forward_tiles_reference(binned, rays, cfg)
+    acc = forward_dispatch(binned, rays, cfg, impl)
     return untile(acc, width, height, cfg.tile_size)
 
 
@@ -148,12 +143,7 @@ def render_image_tile_sharded(model: GaussianModel, camera, mesh: Mesh,
     def device_fn(act, w2c, proj, rays_l, off):
         binned = bin_gaussians(act, w2c, proj, width, height, cfg, cap,
                                cap_pad, row_offset=off[0], row_stride=d)
-        if impl == "pallas":
-            acc = forward_tiles(binned, rays_l[0], cfg, interpret=False)
-        elif impl == "interpret":
-            acc = forward_tiles(binned, rays_l[0], cfg, interpret=True)
-        else:
-            acc = forward_tiles_reference(binned, rays_l[0], cfg)
+        acc = forward_dispatch(binned, rays_l[0], cfg, impl)
         return untile(acc, width, lh, cfg.tile_size)[None]
 
     fn = jax.shard_map(device_fn, mesh=mesh,

@@ -36,7 +36,7 @@ from ..config import RenderConfig, DEFAULT_CONFIG
 from ..models.gaussians import GaussianModel
 from .binning import (band_rays, bin_gaussians, plan_capacity, unband_image,
                       untile)
-from .pallas_forward import forward_tiles, forward_tiles_reference
+from .pallas_forward import forward_dispatch
 from .tiled import _camera_mats, _resolve_impl
 
 
@@ -65,12 +65,7 @@ def _render_banded(act, w2c, proj, rays_bands, width, height, n_bands, cfg,
         rays_b, off = inp
         binned = bin_gaussians(act, w2c, proj, width, height, cfg, cap,
                                cap_pad, row_offset=off, row_stride=n_bands)
-        if impl == "pallas":
-            acc = forward_tiles(binned, rays_b, cfg, interpret=False)
-        elif impl == "interpret":
-            acc = forward_tiles(binned, rays_b, cfg, interpret=True)
-        else:
-            acc = forward_tiles_reference(binned, rays_b, cfg)
+        acc = forward_dispatch(binned, rays_b, cfg, impl)
         img = untile(acc, width, lh, cfg.tile_size)
         return overflow + binned.overflow, img
 

@@ -52,6 +52,31 @@ from .tile_math import RAY_ROWS
 PLAN_VERSION = 2
 
 
+class BinTopology(NamedTuple):
+    """Pair-list topology: which Gaussian lands in which tile chunk slot.
+
+    This is the TPU analog of the reference's built acceleration structure
+    (VulkanFullRT.cpp:575-787): pure int32 index structure, NO differentiable
+    parameter data.  No gradient flows through it (sort orders / cull masks
+    are integer outputs), so a renderer may reuse a topology across frames
+    while the parameters move — the AS-build-once shape of the reference
+    (built at :575-787, per-frame dispatch only re-records at :1185-1244) —
+    at the cost of slightly stale culling/depth-ordering, refreshed on
+    whatever cadence the caller picks (see TiledRenderer / bench.py).
+    """
+    chunk_tile: jnp.ndarray  # (num_chunks,) int32 tile id (num_tiles = dummy)
+    chunk_first: jnp.ndarray # (num_chunks,) int32 1 if first chunk of its tile
+    tile_counts: jnp.ndarray # (num_tiles,) int32 pairs per tile (un-padded)
+    num_pairs: jnp.ndarray   # () int32 surviving pairs (post fine-cull)
+    overflow: jnp.ndarray    # () int32 rect pairs dropped (capacity) +
+                             #    padded slots dropped (capacity_padded)
+    pair_gauss: jnp.ndarray  # (capacity_padded,) int32 gaussian id per slot (N = pad)
+    pair_sorted: jnp.ndarray # (capacity,) int32 sorted pair -> pre-sort pair
+    pair_dest: jnp.ndarray   # (capacity,) int32 sorted pair -> padded slot
+    gauss_offsets: jnp.ndarray  # (N,) int32 pre-sort pair range start
+    gauss_counts: jnp.ndarray   # (N,) int32 pre-sort pair range length
+
+
 class BinnedScene(NamedTuple):
     """Chunked scene data consumed by the fused forward kernel."""
     chunks: jnp.ndarray      # (num_chunks, G, 64) fused params (tile_math)
@@ -196,12 +221,15 @@ def _pair_sphere_cull(tile_x, tile_y, csx, csy, csz, r, p00, p11,
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "capacity",
                                    "capacity_padded", "row_stride"))
-def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
-                  width: int, height: int, cfg: RenderConfig,
-                  capacity: int, capacity_padded: int,
-                  row_offset=0, row_stride: int = 1) -> BinnedScene:
-    """Build the chunked, depth-sorted per-tile Gaussian lists.
+def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
+                 width: int, height: int, cfg: RenderConfig,
+                 capacity: int, capacity_padded: int,
+                 row_offset=0, row_stride: int = 1) -> BinTopology:
+    """Build the depth-sorted, chunk-aligned pair-list TOPOLOGY (no params).
 
+    This is the expensive, parameter-gradient-free half of binning (tile
+    rects, pair expansion, fine cull, sort, padded-slot placement); feed it
+    to `gather_chunks` to attach the differentiable per-pair parameter rows.
     With `row_stride > 1` the pass bins only every stride-th tile row
     starting at `row_offset` (round-robin tile-row sharding; `row_offset`
     may be a traced per-device scalar inside shard_map)."""
@@ -316,10 +344,32 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     pair_gauss = jnp.full((capacity_padded,), n, jnp.int32)
     pair_gauss = pair_gauss.at[dest_drop].set(g_sorted, mode="drop")
 
-    # gather fused per-pair data (dummy row N has density 0 / identity frame).
-    # The world->unit-local frame is prefolded per Gaussian (tile_math v2):
-    # M = diag(1/s) @ R^T and b = M @ mean, so the kernel never touches
-    # scale/rotation separately.
+    return BinTopology(
+        chunk_tile=chunk_tile,
+        chunk_first=chunk_first,
+        tile_counts=tile_counts[:num_tiles],
+        num_pairs=tile_edges[num_tiles],
+        overflow=overflow,
+        pair_gauss=pair_gauss,
+        pair_sorted=p_sorted,
+        pair_dest=dest_drop,
+        gauss_offsets=offsets,
+        gauss_counts=counts,
+    )
+
+
+def gather_chunks(act: ActivatedGaussians, topo: BinTopology,
+                  cfg: RenderConfig) -> jnp.ndarray:
+    """Gather fused per-pair parameter rows into (num_chunks, G, 64) blocks.
+
+    The differentiable half of binning (dummy row N has density 0 / identity
+    frame): the ONLY path gradients take through the binning pass, so a
+    training step may reuse a stale `topo` and still produce exactly the
+    gradients of its forward render.  The world->unit-local frame is
+    prefolded per Gaussian (tile_math v2): M = diag(1/s) @ R^T and
+    b = M @ mean, so the kernel never touches scale/rotation separately.
+    """
+    n = act.means.shape[0]
     m_mat = act.inv_scales[:, :, None] * jnp.swapaxes(act.rotmats, 1, 2)
     b_vec = jnp.einsum("nij,nj->ni", m_mat, act.means,
                        preferred_element_type=jnp.float32)
@@ -342,22 +392,30 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     # INTO the gather, turning every gathered row into ~6 scattered source
     # reads (measured 14 ms vs 7 ms for the same gather on v5e)
     rows64 = jax.lax.optimization_barrier(rows64)
-    chunks64 = chunked_gather(g, rows64, pair_gauss, p_sorted, dest_drop,
-                              offsets, counts)
+    return chunked_gather(cfg.chunk_size, rows64, topo.pair_gauss,
+                          topo.pair_sorted, topo.pair_dest,
+                          topo.gauss_offsets, topo.gauss_counts)
 
-    return BinnedScene(
-        chunks=chunks64,
-        chunk_tile=chunk_tile,
-        chunk_first=chunk_first,
-        tile_counts=tile_counts[:num_tiles],
-        num_pairs=tile_edges[num_tiles],
-        overflow=overflow,
-        pair_gauss=pair_gauss,
-        pair_sorted=p_sorted,
-        pair_dest=dest_drop,
-        gauss_offsets=offsets,
-        gauss_counts=counts,
-    )
+
+def binned_scene(chunks: jnp.ndarray, topo: BinTopology) -> BinnedScene:
+    """Assemble the kernel input from a (possibly reused) topology."""
+    return BinnedScene(chunks, *topo)
+
+
+def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
+                  width: int, height: int, cfg: RenderConfig,
+                  capacity: int, capacity_padded: int,
+                  row_offset=0, row_stride: int = 1) -> BinnedScene:
+    """Build the chunked, depth-sorted per-tile Gaussian lists.
+
+    Composition of `bin_topology` (index structure, gradient-free) and
+    `gather_chunks` (parameter rows, the gradient path); callers that render
+    many frames with a fixed camera should hold the topology and call
+    `gather_chunks` per frame instead (see module doc / TiledRenderer).
+    """
+    topo = bin_topology(act, w2c, proj, width, height, cfg, capacity,
+                        capacity_padded, row_offset, row_stride)
+    return binned_scene(gather_chunks(act, topo, cfg), topo)
 
 
 def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,

@@ -35,7 +35,7 @@ from ..hybrid.pipeline import (HybridConfig, _DeviceScene, _shade_local,
 from ..hybrid.trace import closest_hit
 from ..models.gaussians import GaussianModel
 from .binning import bin_gaussians, plan_capacity, tile_rays, untile
-from .pallas_forward import forward_tiles, forward_tiles_reference
+from .pallas_forward import forward_dispatch
 from .tile_math import ACC_DEPTH, ACC_HITS, ACC_T
 from .tiled import _camera_mats, _resolve_impl
 
@@ -84,22 +84,22 @@ def render_combined(model: GaussianModel, scene: MeshScene, camera,
         capacity = plan_capacity(act, w2c, proj, width, height, cfg)
     rays = tile_rays(camera, cfg, tmax_clip=t_mesh)
     binned = bin_gaussians(act, w2c, proj, width, height, cfg, *capacity)
-    if impl == "pallas":
-        acc = forward_tiles(binned, rays, cfg, interpret=False)
-    elif impl == "interpret":
-        acc = forward_tiles(binned, rays, cfg, interpret=True)
-    else:
-        acc = forward_tiles_reference(binned, rays, cfg)
+    acc = forward_dispatch(binned, rays, cfg, impl)
     img = untile(acc, width, height, cfg.tile_size)
 
     transmittance = img[..., ACC_T]
     rgb = img[..., 0:3] + transmittance[..., None] * mesh_rgb
+    # depth composites the mesh as the opaque tail (alpha=1 surface at
+    # mesh_t contributes T_at_surface * mesh_t, exactly like the radiance
+    # composite above); pixels with neither gaussians nor mesh stay 0
+    depth = img[..., ACC_DEPTH] + transmittance * jnp.where(
+        jnp.isfinite(t_mesh), t_mesh, 0.0)
     return {
         "rgb": rgb,
         "gaussian_rgb": img[..., 0:3],
         "mesh_rgb": mesh_rgb,
         "mesh_t": t_mesh,
-        "depth": img[..., ACC_DEPTH],
+        "depth": depth,
         "transmittance": transmittance,
         "hit_count": img[..., ACC_HITS],
         "overflow": binned.overflow,

@@ -48,6 +48,22 @@ def forward_tiles(binned: BinnedScene, rays_tiled: jnp.ndarray,
     return _background_fix(acc[:num_tiles], binned.tile_counts)
 
 
+def forward_dispatch(binned: BinnedScene, rays_tiled: jnp.ndarray,
+                     cfg: RenderConfig, impl: str) -> jnp.ndarray:
+    """Single impl -> kernel dispatch shared by every render path.
+
+    (tiled/banded/sharded/combined all route through here; the ladder used
+    to be copy-pasted four times and drifted — one helper, one behavior.)
+    """
+    if impl == "pallas":
+        return forward_tiles(binned, rays_tiled, cfg, interpret=False)
+    if impl == "interpret":
+        return forward_tiles(binned, rays_tiled, cfg, interpret=True)
+    if impl == "scan":
+        return forward_tiles_reference(binned, rays_tiled, cfg)
+    raise ValueError(f"unknown impl {impl!r}")
+
+
 def forward_tiles_reference(binned: BinnedScene, rays_tiled: jnp.ndarray,
                             cfg: RenderConfig) -> jnp.ndarray:
     """lax.scan reference of the exact kernel computation (validation path).

@@ -20,8 +20,9 @@ import numpy as np
 
 from ..config import RenderConfig, DEFAULT_CONFIG
 from ..models.gaussians import GaussianModel
-from .binning import bin_gaussians, plan_capacity, tile_rays, untile
-from .pallas_forward import forward_tiles, forward_tiles_reference
+from .binning import (bin_gaussians, bin_topology, binned_scene,
+                      gather_chunks, plan_capacity, tile_rays, untile)
+from .pallas_forward import forward_dispatch
 from .tile_math import ACC_DEPTH, ACC_HITS, ACC_T
 
 
@@ -35,24 +36,35 @@ def _camera_mats(camera):
                                    "impl"))
 def _render_pipeline(act, w2c, proj, rays, width, height, cfg, cap, cap_pad,
                      impl):
-    binned = bin_gaussians(act, w2c, proj, width, height, cfg, cap, cap_pad)
-    if impl == "pallas":
-        acc = forward_tiles(binned, rays, cfg, interpret=False)
-    elif impl == "interpret":
-        acc = forward_tiles(binned, rays, cfg, interpret=True)
-    elif impl == "scan":
-        acc = forward_tiles_reference(binned, rays, cfg)
-    else:
-        raise ValueError(f"unknown impl {impl!r}")
+    topo = bin_topology(act, w2c, proj, width, height, cfg, cap, cap_pad)
+    acc = forward_dispatch(binned_scene(gather_chunks(act, topo, cfg), topo),
+                           rays, cfg, impl)
+    return _acc_outputs(acc, width, height, cfg, topo)
+
+
+def _acc_outputs(acc, width, height, cfg, topo):
     img = untile(acc, width, height, cfg.tile_size)
     return {
         "rgb": img[..., 0:3],
         "depth": img[..., ACC_DEPTH],
         "transmittance": img[..., ACC_T],
         "hit_count": img[..., ACC_HITS],
-        "num_pairs": binned.num_pairs,
-        "overflow": binned.overflow,
+        "num_pairs": topo.num_pairs,
+        "overflow": topo.overflow,
     }
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg", "impl"))
+def _render_from_topology(act, topo, rays, width, height, cfg, impl):
+    """Render with a HELD pair-list topology: per-frame work is only the
+    parameter gather + fused kernel (the reference's AS-build-once shape,
+    VulkanFullRT.cpp:575-787 vs per-frame :1185-1244).  Gradients are exact
+    for this forward (no gradient flows through the topology); forward
+    values use the topology's culling/depth order, which goes stale as the
+    params move — callers refresh on their own cadence."""
+    chunks = gather_chunks(act, topo, cfg)
+    acc = forward_dispatch(binned_scene(chunks, topo), rays, cfg, impl)
+    return _acc_outputs(acc, width, height, cfg, topo)
 
 
 def _resolve_impl(impl: str) -> str:
@@ -78,6 +90,7 @@ class TiledRenderer:
         self.impl = _resolve_impl(impl)
         self.capacity = capacity
         self._ray_cache = {}
+        self._bound = None  # (topology, rays) from bind()
 
     def plan(self, model: GaussianModel, cameras: Sequence) -> tuple:
         """Measure pair counts over representative cameras -> static capacity."""
@@ -125,6 +138,38 @@ class TiledRenderer:
                                    self.height, self.cfg, *self.capacity,
                                    self.impl)
         return out
+
+    def bind(self, model: GaussianModel, camera):
+        """Build and hold this (model, camera)'s pair-list topology — the
+        analog of the reference's startup AS build (VulkanFullRT.cpp:575-787).
+        Subsequent `render_bound` calls skip the whole binning pass."""
+        if self.capacity is None:
+            self.plan(model, [camera])
+        w2c, proj = _camera_mats(camera)
+        topo = bin_topology(model.activate(), w2c, proj, self.width,
+                            self.height, self.cfg, *self.capacity)
+        if (not isinstance(topo.overflow, jax.core.Tracer)
+                and int(topo.overflow) > 0):
+            c, cp = plan_capacity(model.activate(), w2c, proj, self.width,
+                                  self.height, self.cfg)
+            self.capacity = (max(self.capacity[0], c),
+                             max(self.capacity[1], cp))
+            topo = bin_topology(model.activate(), w2c, proj, self.width,
+                                self.height, self.cfg, *self.capacity)
+        self._bound = (topo, self._rays(camera))
+        return topo
+
+    def render_bound(self, model: GaussianModel):
+        """Render against the topology held by `bind` (per-frame work: one
+        parameter gather + the fused kernel).  Exact for the bound model;
+        for a model whose parameters have since moved, culling and depth
+        order are stale while gradients stay exact — re-`bind` on the
+        caller's staleness cadence (e.g. every K training steps)."""
+        assert self._bound is not None, "call bind(model, camera) first"
+        topo, rays = self._bound
+        return _render_from_topology(model.activate(), topo, rays,
+                                     self.width, self.height, self.cfg,
+                                     self.impl)
 
 
 def render_image_tiled(model: GaussianModel, camera,

@@ -87,8 +87,17 @@ def test_pallas_backward_matches_brute_force_autodiff():
         assert corr > 0.99, f"{field} grad correlation {corr:.4f}"
 
 
-def test_backward_with_saturated_rays():
-    """Early-terminated rays must produce finite (and zero-tail) gradients."""
+@pytest.mark.parametrize("saturated", [True, False])
+def test_backward_with_deep_ray_stacks(saturated):
+    """Deep per-ray Gaussian stacks: finite grads, zero tails, scan parity.
+
+    The saturated variant (opacity high enough that rays hit the
+    transmittance floor) exercises early termination but amplifies float
+    summation-order differences near the floor, so its tolerance is loose
+    (2e-2 rtol).  The non-saturated variant of the SAME geometry must match
+    scan autodiff at tight tolerance — the regression guard the saturated
+    tolerance alone would miss.
+    """
     n = 192
     model = g3.GaussianModel(
         means=jnp.concatenate(
@@ -96,7 +105,7 @@ def test_backward_with_saturated_rays():
              -2.0 - 0.01 * jnp.arange(n, dtype=jnp.float32)[:, None]], axis=1),
         scales_log=jnp.full((n, 3), -0.7),
         quats=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1)),
-        opacity_logit=jnp.full((n,), 6.0),
+        opacity_logit=jnp.full((n,), 6.0 if saturated else -4.2),
         sh_dc=jnp.tile(jnp.asarray([[0.5, 0.2, 0.1]]), (n, 1)),
         sh_rest=jnp.zeros((n, 15, 3)),
     )
@@ -108,25 +117,29 @@ def test_backward_with_saturated_rays():
     r_pl.capacity = cap
 
     out = r_pl.render(model, cam)
-    assert np.asarray(out["transmittance"]).min() < 1e-3  # saturated
+    t_min = np.asarray(out["transmittance"]).min()
+    if saturated:
+        assert t_min < 1e-3       # rays actually early-terminate
+    else:
+        assert t_min > 1e-2       # nobody near the floor: tight compare
 
     def loss(renderer):
         return lambda m: jnp.mean(renderer.render(m, cam)["rgb"])
 
     g_pl = jax.grad(loss(r_pl))(model)
     g_scan = jax.grad(loss(r_scan))(model)
+    rtol, atol_scale = (2e-2, 2e-4) if saturated else (5e-4, 5e-5)
     for field in ("means", "opacity_logit", "sh_dc"):
         a = np.asarray(getattr(g_scan, field))
         b = np.asarray(getattr(g_pl, field))
         assert np.isfinite(b).all()
         scale = max(np.abs(a).max(), 1e-8)
-        # hand-derived VJP vs autodiff associate float sums differently;
-        # saturated tiles amplify it near the transmittance floor
-        np.testing.assert_allclose(b, a, atol=2e-4 * scale, rtol=2e-2,
+        np.testing.assert_allclose(b, a, atol=atol_scale * scale, rtol=rtol,
                                    err_msg=field)
-    # gaussians far behind the opaque wall get (near-)zero gradients
-    gm = np.abs(np.asarray(g_pl.means)).sum(1)
-    assert gm[-20:].max() <= 1e-6 + 1e-3 * gm.max()
+    if saturated:
+        # gaussians far behind the opaque wall get (near-)zero gradients
+        gm = np.abs(np.asarray(g_pl.means)).sum(1)
+        assert gm[-20:].max() <= 1e-6 + 1e-3 * gm.max()
 
 
 def test_chunk_core_bwd_matches_jax_vjp():

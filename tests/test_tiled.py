@@ -146,3 +146,44 @@ def test_render_replans_on_overflow():
     out = r.render(model, near)  # auto-replans on overflow
     assert int(out["overflow"]) == 0
     assert float(np.asarray(out["hit_count"]).mean()) > 0.1
+
+
+def test_bound_topology_replay_matches_render():
+    """bind() + render_bound() == render() exactly for the bound model, and
+    stays correct-by-gradient when params move (stale culling, exact VJP)."""
+    from gvrt_tpu.render.tiled import TiledRenderer
+    import dataclasses
+    model = _scene(150, seed=3)
+    cam = _camera(32)
+    r = TiledRenderer(32, 32, CFG, impl=IMPL_PL)
+    out_ref = r.render(model, cam)
+    r.bind(model, cam)
+    out_bound = r.render_bound(model)
+    np.testing.assert_allclose(np.asarray(out_bound["rgb"]),
+                               np.asarray(out_ref["rgb"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_bound["depth"]),
+                               np.asarray(out_ref["depth"]), atol=1e-6)
+
+    # gradients through the bound path equal gradients through the full
+    # pipeline (no gradient flows through the topology)
+    def loss_bound(m):
+        return jnp.mean(r.render_bound(m)["rgb"])
+
+    def loss_full(m):
+        return jnp.mean(r.render(m, cam)["rgb"])
+
+    g_b = jax.grad(loss_bound)(model)
+    g_f = jax.grad(loss_full)(model)
+    for field in ("means", "scales_log", "quats", "opacity_logit", "sh_dc"):
+        a = np.asarray(getattr(g_f, field))
+        b = np.asarray(getattr(g_b, field))
+        np.testing.assert_allclose(b, a, atol=1e-7, err_msg=field)
+
+    # a slightly moved model still renders finite, close-to-fresh images
+    # through the stale topology (the K-step refresh contract)
+    moved = dataclasses.replace(model, means=model.means + 1e-3)
+    out_stale = r.render_bound(moved)
+    out_fresh = r.render(moved, cam)
+    d = np.abs(np.asarray(out_stale["rgb"]) - np.asarray(out_fresh["rgb"]))
+    assert np.isfinite(np.asarray(out_stale["rgb"])).all()
+    assert d.max() < 0.05, d.max()
