@@ -35,6 +35,7 @@ Measurement notes (see PROFILE.md):
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -43,9 +44,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: synthetic-scene overdraw tuning: gaussians on a unit object at distance 3,
-#: sized so measured mean hits/ray >= 15 (asserted below)
-SCALE_RANGE = (-5.95, -4.25)
-SCENE_VERSION = 3
+#: sized so measured mean hits/ray >= 15 (asserted below).  Overdraw is set
+#: by BOTH the kernel footprint (scale) and how long rays stay unsaturated
+#: (opacity): trained scenes are full of low-opacity gaussians, so the
+#: opacity logits are drawn from U(-3.5, 0.5) (mean alpha ~0.2) — measured
+#: 20.1 mean hits/ray at 1080p (scripts-probe, round 3) vs 10.4 with the
+#: r2 opacity range at MORE pairs.
+SCALE_RANGE = (-6.1, -4.4)
+OPACITY_RANGE = (-3.5, 0.5)
+SCENE_VERSION = 4
 
 
 def roofline_rays_per_s(width, height, cap, cap_pad, rays_per_tile, chain_k):
@@ -100,6 +107,10 @@ def main():
     model = g3.random_gaussians(jax.random.key(0), n_gauss, extent=1.0,
                                 scale_range=SCALE_RANGE)
     model.means = model.means.at[:, 2].add(-3.0)
+    model = dataclasses.replace(
+        model, opacity_logit=jax.random.uniform(
+            jax.random.key(7), model.opacity_logit.shape,
+            minval=OPACITY_RANGE[0], maxval=OPACITY_RANGE[1]))
     cam = g3.Camera.from_fovy(width, height, 50.0, np.eye(4))
 
     impl = "pallas" if jax.default_backend() == "tpu" else "interpret"
