@@ -47,6 +47,7 @@ class _DeviceScene:
     def __init__(self, scene: MeshScene, cfg: HybridConfig):
         self.tris = pack_triangles(scene.tri_pos, cfg.tri_chunk)
         self.tri_normal = jnp.asarray(scene.tri_normal)    # (T, 3, 3)
+        self.tri_tangent = jnp.asarray(scene.tri_tangent)  # (T, 3, 4)
         self.tri_uv = jnp.asarray(scene.tri_uv)            # (T, 3, 2)
         self.tri_material = jnp.asarray(scene.tri_material)
         self.materials = jnp.asarray(scene.material_table())
@@ -92,6 +93,19 @@ def _surface_attributes(dev: _DeviceScene, hit, rays):
     reflectance = m[:, 9]
     refractance = m[:, 10]
 
+    # tangent frame for normal mapping (mrt.frag applies the normal map in
+    # the reference's G-buffer pass; glTF tangent w carries handedness)
+    tt = dev.tri_tangent[tri]                    # (R, 3, 4)
+    tang = w0 * tt[:, 0, :3] + w_u * tt[:, 1, :3] + w_v * tt[:, 2, :3]
+    t_norm = jnp.linalg.norm(tang, axis=-1, keepdims=True)
+    has_tangent = t_norm[:, 0] > 1e-6
+    tang = tang / jnp.maximum(t_norm, 1e-12)
+    # Gram-Schmidt against the interpolated normal, bitangent via w sign
+    tang = tang - jnp.sum(tang * n, axis=-1, keepdims=True) * n
+    tang = tang / jnp.maximum(
+        jnp.linalg.norm(tang, axis=-1, keepdims=True), 1e-12)
+    bitan = jnp.cross(n, tang) * tt[:, 0, 3:4]
+
     # texture fetches: static unroll over the scene's texture table
     for k, tex in enumerate(dev.textures):
         texel = sample_texture_bilinear(tex, uv)
@@ -101,6 +115,12 @@ def _surface_attributes(dev: _DeviceScene, hit, rays):
         metallic = jnp.where(m[:, 12] == k, mr[:, 2] * metallic, metallic)
         roughness = jnp.where(m[:, 12] == k, mr[:, 1] * roughness, roughness)
         emissive = jnp.where((m[:, 13:14] == k), texel[:, :3], emissive)
+        tn = texel[:, :3] * 2.0 - 1.0            # tangent-space normal map
+        n_mapped = (tn[:, 0:1] * tang + tn[:, 1:2] * bitan + tn[:, 2:3] * n)
+        n_mapped = n_mapped / jnp.maximum(
+            jnp.linalg.norm(n_mapped, axis=-1, keepdims=True), 1e-12)
+        use = (m[:, 14] == k) & has_tangent
+        n = jnp.where(use[:, None], n_mapped, n)
 
     pos = rays[:, 0:3] + hit["t"][:, None] * rays[:, 3:6]
     return {

@@ -49,7 +49,7 @@ from .tile_math import RAY_ROWS
 
 
 #: bump when binning/layout changes invalidate cached capacity plans
-PLAN_VERSION = 2
+PLAN_VERSION = 3
 
 
 class BinTopology(NamedTuple):
@@ -418,6 +418,21 @@ def bin_gaussians(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     return binned_scene(gather_chunks(act, topo, cfg), topo)
 
 
+def _bucket_capacity(v: int, g: int, ratio: float = 1.25) -> int:
+    """Round a capacity UP to the next step of a chunk-aligned geometric grid.
+
+    Every distinct (capacity, capacity_padded) pair is a fresh XLA/Mosaic
+    compile of the whole pipeline (minutes at bench scale).  Snapping plans to
+    x`ratio` steps means a re-plan after modest scene/camera drift lands on a
+    shape that is ALREADY compiled (and persistently cached) instead of
+    triggering a new one; worst case it over-allocates by `ratio` - 1, which
+    only adds dead trailing chunks (DMA-skipped) and sort width.
+    """
+    v = max(int(v), g)
+    k = math.ceil(math.log(v / g) / math.log(ratio) - 1e-9)
+    return int(math.ceil(g * ratio ** k / g)) * g
+
+
 def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
                   cfg: RenderConfig, slack: float = 1.3, band=(0, 1)):
     """Measure pair counts once (host NumPy) to pick static capacities.
@@ -456,7 +471,9 @@ def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
     padded = int((np.ceil(per_tile * slack / g) * g).sum())
     padded += g * (1 + max(64, int(nx) * int(ny) // 16))
     capacity_padded = int(min(padded, capacity + int(nx) * int(ny) * g + g))
-    return capacity, capacity_padded
+    # snap to the compile-shape grid (see _bucket_capacity): re-plans after
+    # drift/overflow reuse already-compiled pipeline shapes
+    return _bucket_capacity(capacity, g), _bucket_capacity(capacity_padded, g)
 
 
 def tile_rays(camera, cfg: RenderConfig, aabb=None, tmax_clip=None):

@@ -96,7 +96,7 @@ chunks = None
 
 if "topo" in stages:
     def topo_body(eps):
-        a2 = dataclasses.replace(act, densities=act.densities + eps)
+        a2 = act._replace(densities=act.densities + eps)
         t = bin_topology(a2, w2c, proj, W, H, cfg, cap, cap_pad)
         return jnp.sum(t.num_pairs).astype(jnp.float32)
     run_topo = chain(topo_body)
@@ -108,7 +108,7 @@ if stages & {"gather", "fwd", "bwd", "reduce"}:
 
 if "gather" in stages:
     def gather_body(eps):
-        a2 = dataclasses.replace(act, densities=act.densities + eps)
+        a2 = act._replace(densities=act.densities + eps)
         ch = gather_chunks(a2, topo, cfg)
         return ch[0, 0, 12]
     run_gather = chain(gather_body)
