@@ -5,8 +5,10 @@ build (particlePrimitives.comp, VulkanFullRT.cpp:575-787): TPUs have no RT
 cores, so instead of building proxy icosahedra and a BVH we
   1. size each Gaussian's iso-response ellipsoid with the same `kernelScale`
      radius math (particlePrimitives.comp:81-105),
-  2. compute its world AABB and conservatively project it to screen tiles
-     (the spatial-cell idea of SplitBLAS.cpp done functionally),
+  2. compute its tight camera-space AABB, project it to screen-tile rects
+     (the spatial-cell idea of SplitBLAS.cpp done functionally), and kill
+     the over-covered corners with an exact per-pair ellipsoid-vs-tile-
+     frustum support test,
   3. emit (tile, gaussian) pairs, sort them by (tile, view depth), and
   4. pad every tile's pair list to a multiple of the kernel chunk size G so
      the fused forward kernel can iterate a flat 1D chunk grid with
@@ -41,7 +43,7 @@ import numpy as np
 
 from ..config import RenderConfig
 from ..models.gaussians import ActivatedGaussians
-from ..ops.aabb import gaussian_world_aabb, intersect_aabb
+from ..ops.aabb import intersect_aabb
 from ..ops.kernels import kernel_scale
 from ..ops.sh import sh_basis_components
 from .param_grads import chunked_gather
@@ -49,7 +51,7 @@ from .tile_math import RAY_ROWS
 
 
 #: bump when binning/layout changes invalidate cached capacity plans
-PLAN_VERSION = 3
+PLAN_VERSION = 4
 
 
 class BinTopology(NamedTuple):
@@ -109,21 +111,22 @@ def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
     radius = kernel_scale(act.densities, cfg.kernel_min_response,
                           float(cfg.kernel_degree),
                           cfg.adaptive_kernel_clamping)
-    lo, hi = gaussian_world_aabb(act.means, act.scales, act.rotmats, radius)
 
-    # closed-form screen bounds of the world AABB (no (N, 8, 3) corner
-    # tensors): camera-space center +- |R| * half-extent is the cam AABB;
-    # since clip = diag(P00, P11) and w = -z (perspective_vulkan /
-    # raygen.rgen:119-121), each ndc extreme is attained at one of the four
-    # (coord, z) corner combinations — 4 products + min/max per axis.
-    c = (lo + hi) * 0.5
-    e = (hi - lo) * 0.5
-    cc = c @ w2c[:3, :3].T + w2c[:3, 3]                   # (N, 3)
-    ec = e @ jnp.abs(w2c[:3, :3]).T                       # (N, 3)
-    # bounding sphere of the iso-response ellipsoid (for per-pair fine cull):
-    # center = mean, radius = kernel radius x largest semi-axis
+    # iso-response ellipsoid straight in CAMERA space: with
+    # V = W @ R @ diag(radius*s)  (W = w2c rotation), the ellipsoid is
+    # {cs + V u : |u| <= 1}, so its tight cam AABB half-extent is the row
+    # norm of V and its support along any plane normal n is |V^T n| — no
+    # world-AABB -> |W|-rotated-box double expansion (the r2 bound), and V
+    # feeds the exact per-pair ellipsoid-vs-tile-frustum cull below.
+    vmat = jnp.einsum("ij,njk->nik", w2c[:3, :3], act.rotmats,
+                      preferred_element_type=jnp.float32)
+    vmat = vmat * (radius[:, None] * act.scales)[:, None, :]  # (N, 3, 3)
     cs = act.means @ w2c[:3, :3].T + w2c[:3, 3]           # (N, 3) cam space
-    r_s = radius * jnp.max(act.scales, axis=1)            # (N,)
+    cc = cs
+    ec = jnp.sqrt(jnp.sum(vmat * vmat, axis=2))           # (N, 3)
+    # screen bounds: clip = diag(P00, P11) and w = -z (perspective_vulkan /
+    # raygen.rgen:119-121), so each ndc extreme is attained at one of the
+    # four (coord, z) corner combinations — 4 products + min/max per axis.
     z_lo, z_hi = cc[:, 2] - ec[:, 2], cc[:, 2] + ec[:, 2]
     all_behind = z_lo > -cfg.near                         # camera looks -z
     any_behind = z_hi > -cfg.near
@@ -179,7 +182,7 @@ def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
         ny = lny
 
     depth = -cs[:, 2]
-    return (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, r_s
+    return (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, vmat
 
 
 def _scatter_cummax_fill(capacity: int, offsets, values, valid):
@@ -192,18 +195,25 @@ def _scatter_cummax_fill(capacity: int, offsets, values, valid):
     return jax.lax.cummax(arr)
 
 
-def _pair_sphere_cull(tile_x, tile_y, csx, csy, csz, r, p00, p11,
-                      width, height, ts):
-    """Conservative sphere-vs-tile-frustum test per (tile, gaussian) pair.
+def _pair_ellipsoid_cull(tile_x, tile_y, csx, csy, csz, v9, p00, p11,
+                         width, height, ts):
+    """Exact ellipsoid-vs-tile-frustum test per (tile, gaussian) pair.
 
     The tile's frustum is the wedge of the four planes through the camera
     origin along the tile's ndc edges; with a diagonal projection and w = -z,
-    the plane for ndc_x >= a is n=(P00, 0, a) (P00*cx + a*cz >= 0), and the
-    bounding sphere (center cs, radius r) of the iso-response ellipsoid
-    intersects the half-space iff n.c >= -r|n|.  Keeps every pair whose
-    ellipsoid could touch the tile; kills the rect corners the AABB
-    expansion over-covers (and nearly all tiles of the conservative
-    full-screen rects used for partially-behind gaussians).
+    the plane for ndc_x >= a is n=(P00, 0, a) (P00*cx + a*cz >= 0).  The
+    iso-response ellipsoid {cs + V u : |u| <= 1} (V from _tile_ranges)
+    intersects the half-space n.x >= 0 iff n.cs >= -|V^T n| — the support
+    function of the ellipsoid, EXACT per plane (the r2 bound used the
+    bounding sphere, r * max(scale), which over-covers anisotropic
+    gaussians by the axis ratio).  Compared squared to avoid sqrt.  Keeps
+    every pair whose acceptance region (response >= kernel_min_response)
+    could touch the tile; kills the rect corners the AABB expansion
+    over-covers (and nearly all tiles of the conservative full-screen rects
+    used for partially-behind gaussians).
+
+    v9 is V.reshape(9) per pair: [Vx0 Vx1 Vx2 Vy0 Vy1 Vy2 Vz0 Vz1 Vz2]
+    (row-major rows x/y/z, columns = ellipsoid axes).
     """
     fx, fy = 2.0 * ts / width, 2.0 * ts / height
     a0 = fx * tile_x.astype(jnp.float32) - 1.0
@@ -212,10 +222,25 @@ def _pair_sphere_cull(tile_x, tile_y, csx, csy, csz, r, p00, p11,
     b1 = b0 + fy
     lx = p00 * csx
     ly = p11 * csy
-    keep = (lx + a0 * csz >= -r * jnp.sqrt(p00 * p00 + a0 * a0))
-    keep &= (lx + a1 * csz <= r * jnp.sqrt(p00 * p00 + a1 * a1))
-    keep &= (ly + b0 * csz >= -r * jnp.sqrt(p11 * p11 + b0 * b0))
-    keep &= (ly + b1 * csz <= r * jnp.sqrt(p11 * p11 + b1 * b1))
+
+    def sup2(na, nc, r0, r1):
+        # |V^T n|^2 for n with components na on row r0, nc on row r1 (=z)
+        s = 0.0
+        for k in range(3):
+            u = na * v9[..., r0 * 3 + k] + nc * v9[..., r1 * 3 + k]
+            s = s + u * u
+        return s
+
+    def touches_ge(d, s2):   # ellipsoid touches {n.x >= 0}
+        return (d >= 0) | (d * d <= s2)
+
+    def touches_le(d, s2):   # ellipsoid touches {n.x <= 0}
+        return (d <= 0) | (d * d <= s2)
+
+    keep = touches_ge(lx + a0 * csz, sup2(p00, a0, 0, 2))
+    keep &= touches_le(lx + a1 * csz, sup2(p00, a1, 0, 2))
+    keep &= touches_ge(ly + b0 * csz, sup2(p11, b0, 1, 2))
+    keep &= touches_le(ly + b1 * csz, sup2(p11, b1, 1, 2))
     return keep
 
 
@@ -235,7 +260,7 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     may be a traced per-device scalar inside shard_map)."""
     g = cfg.chunk_size
     n = act.means.shape[0]
-    (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, r_s = _tile_ranges(
+    (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, vmat = _tile_ranges(
         act, w2c, proj, width, height, cfg, band=(row_offset, row_stride))
     num_tiles = nx * ny
 
@@ -270,11 +295,12 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     f32 = jnp.float32
     off_hi = (offsets >> 12).astype(f32)
     off_lo = (offsets & 0xFFF).astype(f32)
-    exp_tab = jnp.stack(
-        [tx0.astype(f32), ty0.astype(f32), rect_w.astype(f32),
-         off_hi, off_lo, depth_q.astype(f32),
-         cs[:, 0], cs[:, 1], cs[:, 2], r_s], axis=1)          # (N, 10)
-    exp = exp_tab[pair_g]                                     # (capacity, 10)
+    exp_tab = jnp.concatenate(
+        [jnp.stack([tx0.astype(f32), ty0.astype(f32), rect_w.astype(f32),
+                    off_hi, off_lo, depth_q.astype(f32),
+                    cs[:, 0], cs[:, 1], cs[:, 2]], axis=1),
+         vmat.reshape(-1, 9)], axis=1)                        # (N, 18)
+    exp = exp_tab[pair_g]                                     # (capacity, 18)
     e_tx0 = exp[:, 0].astype(jnp.int32)
     e_ty0 = exp[:, 1].astype(jnp.int32)
     e_rw = exp[:, 2].astype(jnp.int32)
@@ -286,9 +312,9 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     tile_x = e_tx0 + j % e_rw
     tile_y = e_ty0 + j // e_rw
     tile_y_global = tile_y * row_stride + row_offset
-    fine = _pair_sphere_cull(tile_x, tile_y_global, exp[:, 6], exp[:, 7],
-                             exp[:, 8], exp[:, 9], proj[0, 0], proj[1, 1],
-                             width, height, cfg.tile_size)
+    fine = _pair_ellipsoid_cull(tile_x, tile_y_global, exp[:, 6], exp[:, 7],
+                                exp[:, 8], exp[:, 9:18], proj[0, 0],
+                                proj[1, 1], width, height, cfg.tile_size)
     tile_id = jnp.where(in_range & fine, tile_y * nx + tile_x, num_tiles)
 
     # sort by (tile, depth) with one packed int32 key: tile in the high bits,
@@ -443,7 +469,7 @@ def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
     motion), so the fine cull shrinks the gather and kernel grids too.
     `band` plans one tile-row shard (see bin_gaussians row_offset/stride).
     """
-    (tx0, ty0, tx1, ty1), valid, _, (nx, ny), cs, r_s = jax.tree.map(
+    (tx0, ty0, tx1, ty1), valid, _, (nx, ny), cs, vmat = jax.tree.map(
         np.asarray, _tile_ranges(act, jnp.asarray(w2c), jnp.asarray(proj),
                                  width, height, cfg, band=band))
     counts = np.where(valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
@@ -458,9 +484,9 @@ def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
     j = np.arange(total) - np.repeat(offs, counts)
     tile_x = tx0[pg] + j % rect_w[pg]
     tile_y = ty0[pg] + j // rect_w[pg]
-    keep = np.asarray(_pair_sphere_cull(
+    keep = np.asarray(_pair_ellipsoid_cull(
         tile_x, tile_y * band[1] + band[0],
-        cs[pg, 0], cs[pg, 1], cs[pg, 2], r_s[pg],
+        cs[pg, 0], cs[pg, 1], cs[pg, 2], vmat.reshape(-1, 9)[pg],
         float(np.asarray(proj)[0, 0]), float(np.asarray(proj)[1, 1]),
         width, height, cfg.tile_size))
     tile_id = (tile_y * nx + tile_x)[keep]

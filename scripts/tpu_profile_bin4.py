@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import gvrt_tpu as g3
 from gvrt_tpu.render import binning
 from gvrt_tpu.render.binning import (_tile_ranges, _scatter_cummax_fill,
-                                     _pair_sphere_cull)
+                                     _pair_ellipsoid_cull)
 from gvrt_tpu.render.param_grads import chunked_gather
 from gvrt_tpu.render.tiled import _camera_mats
 
@@ -37,7 +37,7 @@ def staged_bin(act, stage):
     g = cfg.chunk_size
     n = act.means.shape[0]
     width, height = W, H
-    (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, r_s = _tile_ranges(
+    (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, vmat = _tile_ranges(
         act, w2c, proj, width, height, cfg)
     num_tiles = nx * ny
     if stage == "ranges":
@@ -71,7 +71,8 @@ def staged_bin(act, stage):
     exp_tab = jnp.stack(
         [tx0.astype(f32), ty0.astype(f32), rect_w.astype(f32),
          off_hi, off_lo, depth_q.astype(f32),
-         cs[:, 0], cs[:, 1], cs[:, 2], r_s], axis=1)
+         cs[:, 0], cs[:, 1], cs[:, 2]], axis=1)
+    exp_tab = jnp.concatenate([exp_tab, vmat.reshape(-1, 9)], axis=1)
     exp = exp_tab[pair_g]
     e_tx0 = exp[:, 0].astype(jnp.int32)
     e_ty0 = exp[:, 1].astype(jnp.int32)
@@ -83,9 +84,9 @@ def staged_bin(act, stage):
     j = p_idx - e_off
     tile_x = e_tx0 + j % e_rw
     tile_y = e_ty0 + j // e_rw
-    fine = _pair_sphere_cull(tile_x, tile_y, exp[:, 6], exp[:, 7],
-                             exp[:, 8], exp[:, 9], proj[0, 0], proj[1, 1],
-                             width, height, cfg.tile_size)
+    fine = _pair_ellipsoid_cull(tile_x, tile_y, exp[:, 6], exp[:, 7],
+                                exp[:, 8], exp[:, 9:18], proj[0, 0],
+                                proj[1, 1], width, height, cfg.tile_size)
     tile_id = jnp.where(in_range & fine, tile_y * nx + tile_x, num_tiles)
     key = (tile_id << depth_bits) | jnp.where(in_range, e_dq, 0)
     if stage == "expand":
