@@ -11,6 +11,18 @@ shim ``import gvrt_tpu`` or ``importlib.import_module("3dgvrt_lightfield_tpu")``
 Submodules are imported eagerly so attribute access works either way.
 """
 
+import jax as _jax
+
+# TPU matmul default is bfloat16 inputs, which quantizes ray directions,
+# camera-space depths (binning sort order), SH radiance, and the gradient
+# prefix-sum reduction (blocked_cumsum) — measured on v5e as depth-order
+# inversions of ~3e-3 and 97%-mismatched cumsums vs f32 (on-chip suite,
+# round 3).  Every matmul in this framework contracts over tiny dims (3 or
+# 16) or feeds gradient accumulation, so full-f32 MXU passes are the correct
+# default; nothing here is throughput-bound on the MXU (the fused kernel is
+# VPU-bound, PROFILE.md section 3).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import config
 from .config import RenderConfig, DEFAULT_CONFIG
 

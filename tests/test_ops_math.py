@@ -29,14 +29,16 @@ def test_kernel_scale_is_iso_response_radius():
     for deg in (1, 3, 4, 5, 8):
         r = g3.ops.kernel_scale(jnp.asarray(1.0), 0.0113, kernel_degree=deg)
         resp = g3.ops.particle_response(r * r, degree=deg)
-        np.testing.assert_allclose(resp, 0.0113, rtol=1e-5)
+        # rtol covers TPU exp/log/pow ULP error (measured 6e-5 on v5e)
+        np.testing.assert_allclose(resp, 0.0113, rtol=2e-4)
 
 
 def test_kernel_scale_reference_value():
     # degree 4, minResponse 0.0113: r = (log(m)/a)^(1/4), a = -4.5/81
     r = float(g3.ops.kernel_scale(jnp.asarray(1.0), 0.0113, kernel_degree=4))
     want = (np.log(0.0113) / (-4.5 / 81.0)) ** 0.25
-    np.testing.assert_allclose(r, want, rtol=1e-6)
+    # rtol covers TPU log/pow ULP error (measured 4.6e-6 on v5e)
+    np.testing.assert_allclose(r, want, rtol=2e-5)
 
 
 def test_quat_to_rotmat_identity_and_axis():
