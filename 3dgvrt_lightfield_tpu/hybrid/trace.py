@@ -6,6 +6,17 @@ RT cores, so ray blocks are intersected against triangle chunks with
 Möller-Trumbore and a masked argmin, scanning chunks with `lax.scan` to keep
 VMEM bounded.  Layout: rays are rows (R, 6), triangles are packed on the lane
 dimension (9, T) so every arithmetic op is a (R, T) VPU broadcast.
+
+BVH-lite cull (the TLAS stand-in): `pack_triangles` Morton-orders triangles
+by centroid so each chunk is spatially compact, and stores a per-chunk AABB.
+The scan step slab-tests the ray block against the chunk AABB first and skips
+the whole Möller-Trumbore evaluation with a scalar `lax.cond` when no ray can
+touch the chunk — including rays whose current best hit (closest_hit) or
+shadow-segment end (occluded) is nearer than the chunk.  Rays are processed
+in blocks (image tiles are coherent) so the any-ray predicate actually
+prunes; results are bit-identical to the brute-force scan (the cull is
+conservative).  This is the reference's uniform-grid SplitBLAS idea
+(SplitBLAS.cpp:678-752) done as a depth-1 LBVH over lane-width leaves.
 """
 
 from __future__ import annotations
@@ -23,6 +34,8 @@ EPS_DET = 1e-9
 #: rays; primaries from the G-buffer cast use a tighter 1e-3)
 RAY_TMIN = 0.1
 INF = 1e30
+#: default rays per culling block: one 64x64 image tile
+RAY_BLOCK = 4096
 
 
 class TrianglePack(NamedTuple):
@@ -31,12 +44,42 @@ class TrianglePack(NamedTuple):
     e1: jnp.ndarray      # (C, 3, G) v1 - v0
     e2: jnp.ndarray      # (C, 3, G) v2 - v0
     tri_id: jnp.ndarray  # (C, G) int32 global triangle id (or -1 pad)
+    lo: jnp.ndarray      # (C, 3) chunk AABB min (+INF for all-pad chunks)
+    hi: jnp.ndarray      # (C, 3) chunk AABB max (-INF for all-pad chunks)
 
 
-def pack_triangles(tri_pos: np.ndarray, chunk: int = 512) -> TrianglePack:
-    """(T, 3, 3) vertex triples -> lane-major chunks padded to `chunk`."""
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """(N, 3) int in [0, 1024) -> interleaved 30-bit Morton codes."""
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+    return (spread(x[:, 0]) | (spread(x[:, 1]) << np.uint64(1))
+            | (spread(x[:, 2]) << np.uint64(2)))
+
+
+def pack_triangles(tri_pos: np.ndarray, chunk: int = 512,
+                   reorder: bool = True) -> TrianglePack:
+    """(T, 3, 3) vertex triples -> lane-major chunks padded to `chunk`.
+
+    With `reorder` (default), triangles are sorted by the Morton code of
+    their centroid so chunks are spatially compact and the per-chunk AABBs
+    (used by the scan-time cull) are tight.  `tri_id` always carries the
+    ORIGINAL triangle index, so attribute gathers downstream are unaffected.
+    """
     t = np.asarray(tri_pos, np.float32)
     n = len(t)
+    order = np.arange(n)
+    if reorder and n > 1:
+        cent = t.mean(axis=1)
+        lo, hi = cent.min(0), cent.max(0)
+        q = ((cent - lo) / np.maximum(hi - lo, 1e-12) * 1023.0)
+        order = np.argsort(_morton3(np.clip(q, 0, 1023).astype(np.int64)),
+                           kind="stable")
+        t = t[order]
     c = max(1, -(-n // chunk))
     pad = c * chunk - n
     v0 = t[:, 0, :]
@@ -47,10 +90,20 @@ def pack_triangles(tri_pos: np.ndarray, chunk: int = 512) -> TrianglePack:
         x = np.concatenate([x, np.zeros((pad, 3), np.float32)])
         return jnp.asarray(x.reshape(c, chunk, 3).transpose(0, 2, 1))
 
-    ids = np.concatenate([np.arange(n, dtype=np.int32),
+    ids = np.concatenate([order.astype(np.int32),
                           np.full((pad,), -1, np.int32)])
+
+    # per-chunk AABB over real triangles (pad slots excluded via +-INF)
+    vmin = np.minimum(np.minimum(t[:, 0], t[:, 1]), t[:, 2])
+    vmax = np.maximum(np.maximum(t[:, 0], t[:, 1]), t[:, 2])
+    vmin = np.concatenate([vmin, np.full((pad, 3), INF, np.float32)])
+    vmax = np.concatenate([vmax, np.full((pad, 3), -INF, np.float32)])
+    lo = vmin.reshape(c, chunk, 3).min(axis=1)
+    hi = vmax.reshape(c, chunk, 3).max(axis=1)
+
     return TrianglePack(chunked(v0), chunked(e1), chunked(e2),
-                        jnp.asarray(ids.reshape(c, chunk)))
+                        jnp.asarray(ids.reshape(c, chunk)),
+                        jnp.asarray(lo), jnp.asarray(hi))
 
 
 def _intersect_chunk(o, d, v0, e1, e2):
@@ -85,62 +138,146 @@ def _split(rays):
     return o, d
 
 
-@partial(jax.jit, static_argnames=())
-def closest_hit(rays: jnp.ndarray, tris: TrianglePack,
-                tmin: Optional[jnp.ndarray] = None,
-                tmax: Optional[jnp.ndarray] = None):
-    """Nearest intersection per ray.
+def _slab(o, d, lo, hi):
+    """Ray-vs-AABB slab test for (R, 1) ray columns and (3,) box corners.
 
-    rays (R, 6) [o, d]; returns dict of (R,) arrays: t (INF on miss),
-    tri (int32, -1 on miss), u, v barycentrics.
+    Returns (near, far) per ray; overlap iff near <= far (and the interval
+    intersects the caller's [tmin, bound]).  Zero direction components are
+    clamped to +-1e-12 — that makes the test CONSERVATIVE (huge finite t's
+    instead of NaNs from 0*inf), never wrongly skipping a chunk.
     """
+    near = jnp.full_like(o[0][:, 0], -INF)
+    far = jnp.full_like(o[0][:, 0], INF)
+    for j in range(3):
+        dj = d[j][:, 0]
+        inv = 1.0 / jnp.where(jnp.abs(dj) < 1e-12,
+                              jnp.where(dj < 0, -1e-12, 1e-12), dj)
+        a = (lo[j] - o[j][:, 0]) * inv
+        b = (hi[j] - o[j][:, 0]) * inv
+        near = jnp.maximum(near, jnp.minimum(a, b))
+        far = jnp.minimum(far, jnp.maximum(a, b))
+    return near, far
+
+
+def _pad_blocks(rays, aux, block):
+    """Split (R, ...) arrays into (B, block, ...), padding with dead rays."""
     r = rays.shape[0]
-    tmin = jnp.full((r,), RAY_TMIN) if tmin is None else tmin
-    tmax = jnp.full((r,), INF) if tmax is None else tmax
+    b = max(1, -(-r // block))
+    pad = b * block - r
+    rays = jnp.pad(rays, ((0, pad), (0, 0)))
+    aux = [jnp.pad(a, ((0, pad),)) for a in aux]
+    return (rays.reshape(b, block, 6),
+            [a.reshape(b, block) for a in aux], r)
+
+
+def _closest_hit_block(rays, tris, tmin, tmax):
+    r = rays.shape[0]
     o, d = _split(rays)
 
     def step(carry, chunk):
         best_t, best_tri, best_u, best_v = carry
-        v0, e1, e2, ids = chunk
-        v0 = [v0[j:j + 1, :] for j in range(3)]
-        e1 = [e1[j:j + 1, :] for j in range(3)]
-        e2 = [e2[j:j + 1, :] for j in range(3)]
-        t, u, v, hit = _intersect_chunk(o, d, v0, e1, e2)
-        ok = hit & (ids[None, :] >= 0) & (t >= tmin[:, None]) \
-            & (t <= tmax[:, None]) & (t < best_t[:, None])
-        tbig = jnp.where(ok, t, INF)
-        j = jnp.argmin(tbig, axis=1)
-        rr = jnp.arange(r)
-        better = tbig[rr, j] < best_t
-        best_tri = jnp.where(better, ids[j], best_tri)
-        best_u = jnp.where(better, u[rr, j], best_u)
-        best_v = jnp.where(better, v[rr, j], best_v)
-        best_t = jnp.where(better, tbig[rr, j], best_t)
-        return (best_t, best_tri, best_u, best_v), None
+        v0c, e1c, e2c, ids, lo, hi = chunk
+        near, far = _slab(o, d, lo, hi)
+        live = ((near <= jnp.minimum(far, jnp.minimum(tmax, best_t)))
+                & (far >= tmin))
+
+        def hit_body(c):
+            best_t, best_tri, best_u, best_v = c
+            v0 = [v0c[j:j + 1, :] for j in range(3)]
+            e1 = [e1c[j:j + 1, :] for j in range(3)]
+            e2 = [e2c[j:j + 1, :] for j in range(3)]
+            t, u, v, hit = _intersect_chunk(o, d, v0, e1, e2)
+            ok = hit & (ids[None, :] >= 0) & (t >= tmin[:, None]) \
+                & (t <= tmax[:, None]) & (t < best_t[:, None])
+            tbig = jnp.where(ok, t, INF)
+            j = jnp.argmin(tbig, axis=1)
+            rr = jnp.arange(r)
+            better = tbig[rr, j] < best_t
+            best_tri = jnp.where(better, ids[j], best_tri)
+            best_u = jnp.where(better, u[rr, j], best_u)
+            best_v = jnp.where(better, v[rr, j], best_v)
+            best_t = jnp.where(better, tbig[rr, j], best_t)
+            return (best_t, best_tri, best_u, best_v)
+
+        return jax.lax.cond(jnp.any(live), hit_body, lambda c: c,
+                            carry), None
 
     init = (jnp.full((r,), INF), jnp.full((r,), -1, jnp.int32),
             jnp.zeros((r,)), jnp.zeros((r,)))
     (t, tri, u, v), _ = jax.lax.scan(step, init, tris)
-    return {"t": t, "tri": tri, "u": u, "v": v}
+    return t, tri, u, v
 
 
-@partial(jax.jit, static_argnames=())
-def occluded(rays: jnp.ndarray, tris: TrianglePack, tmin: jnp.ndarray,
-             tmax: jnp.ndarray) -> jnp.ndarray:
-    """Any-hit test in (tmin, tmax): the shadow-ray trace
-    (raygen.rgen traceRayEXT with TerminateOnFirstHit)."""
+@partial(jax.jit, static_argnames=("block",))
+def closest_hit(rays: jnp.ndarray, tris: TrianglePack,
+                tmin: Optional[jnp.ndarray] = None,
+                tmax: Optional[jnp.ndarray] = None,
+                block: int = RAY_BLOCK):
+    """Nearest intersection per ray.
+
+    rays (R, 6) [o, d]; returns dict of (R,) arrays: t (INF on miss),
+    tri (int32, -1 on miss), u, v barycentrics.  Rays are processed in
+    blocks of `block` so the chunk-AABB cull's any-ray predicate stays
+    coherent (contiguous rays come from the same image region).
+    """
+    r = rays.shape[0]
+    tmin = jnp.full((r,), RAY_TMIN) if tmin is None else tmin
+    tmax = jnp.full((r,), INF) if tmax is None else tmax
+    rb, (tminb, tmaxb), r0 = _pad_blocks(rays, [tmin, tmax], min(block, r))
+
+    def per_block(carry, blk):
+        rays_i, tmin_i, tmax_i = blk
+        # padded rays have d = 0 -> the conservative slab can pass them,
+        # but tmin=0/tmax=0 kills every accept test
+        out = _closest_hit_block(rays_i, tris, tmin_i,
+                                 jnp.where(tmax_i == 0, -INF, tmax_i))
+        return carry, out
+
+    _, (t, tri, u, v) = jax.lax.scan(per_block, 0, (rb, tminb, tmaxb))
+    flat = lambda x: x.reshape(-1)[:r0]  # noqa: E731
+    return {"t": flat(t), "tri": flat(tri), "u": flat(u), "v": flat(v)}
+
+
+def _occluded_block(rays, tris, tmin, tmax):
     o, d = _split(rays)
 
     def step(carry, chunk):
-        v0, e1, e2, ids = chunk
-        v0 = [v0[j:j + 1, :] for j in range(3)]
-        e1 = [e1[j:j + 1, :] for j in range(3)]
-        e2 = [e2[j:j + 1, :] for j in range(3)]
-        t, _, _, hit = _intersect_chunk(o, d, v0, e1, e2)
-        any_hit = jnp.any(hit & (ids[None, :] >= 0) & (t >= tmin[:, None])
-                          & (t <= tmax[:, None]), axis=1)
-        return carry | any_hit, None
+        v0c, e1c, e2c, ids, lo, hi = chunk
+        near, far = _slab(o, d, lo, hi)
+        live = ((near <= jnp.minimum(far, tmax)) & (far >= tmin)
+                & ~carry)  # fully-shadowed blocks stop testing
+
+        def hit_body(c):
+            v0 = [v0c[j:j + 1, :] for j in range(3)]
+            e1 = [e1c[j:j + 1, :] for j in range(3)]
+            e2 = [e2c[j:j + 1, :] for j in range(3)]
+            t, _, _, hit = _intersect_chunk(o, d, v0, e1, e2)
+            any_hit = jnp.any(hit & (ids[None, :] >= 0)
+                              & (t >= tmin[:, None])
+                              & (t <= tmax[:, None]), axis=1)
+            return c | any_hit
+
+        return jax.lax.cond(jnp.any(live), hit_body, lambda c: c,
+                            carry), None
 
     init = jnp.zeros((rays.shape[0],), bool)
     out, _ = jax.lax.scan(step, init, tris)
     return out
+
+
+@partial(jax.jit, static_argnames=("block",))
+def occluded(rays: jnp.ndarray, tris: TrianglePack, tmin: jnp.ndarray,
+             tmax: jnp.ndarray, block: int = RAY_BLOCK) -> jnp.ndarray:
+    """Any-hit test in (tmin, tmax): the shadow-ray trace
+    (raygen.rgen traceRayEXT with TerminateOnFirstHit)."""
+    r = rays.shape[0]
+    rb, (tminb, tmaxb), r0 = _pad_blocks(rays, [tmin, tmax], min(block, r))
+
+    def per_block(carry, blk):
+        rays_i, tmin_i, tmax_i = blk
+        occ = _occluded_block(rays_i, tris, tmin_i,
+                              jnp.where(tmax_i == 0, -INF, tmax_i))
+        return carry, occ
+
+    _, occ = jax.lax.scan(per_block, 0, (rb, tminb, tmaxb))
+    return occ.reshape(-1)[:r0]

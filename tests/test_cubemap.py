@@ -94,6 +94,69 @@ def test_load_cubemap_roundtrip(tmp_path):
     np.testing.assert_allclose(cube[:, 0, 0, :], FACE_COLORS, atol=1 / 255)
 
 
+def test_ktx1_cubemap_roundtrip(tmp_path):
+    """KTX1 write -> read preserves faces, order, and float payloads
+    (io/ktx.py replaces the reference's libktx path,
+    base/VulkanTexture.cpp loadCubemap)."""
+    from gvrt_tpu.io.ktx import load_ktx, save_ktx1
+    s = 8
+    cube = np.zeros((6, s, s, 3), np.float32)
+    cube[:] = FACE_COLORS[:, None, None, :]
+    cube[:, 0, 0, :] = 0.123  # corner marker: catches face/row transposes
+    p = tmp_path / "env.ktx"
+    save_ktx1(str(p), cube)
+    back = load_ktx(str(p))
+    assert back.shape == (6, s, s, 3)
+    np.testing.assert_allclose(back, cube, atol=1e-7)
+    # load_cubemap accepts the container path directly
+    via_cubemap = load_cubemap(str(p))
+    np.testing.assert_allclose(via_cubemap, cube, atol=1e-7)
+
+
+def test_ktx1_uint8_srgb_2d(tmp_path):
+    """uint8 sRGB payloads decode to linear float on load (a Vulkan sRGB
+    image view's sampling behavior)."""
+    from gvrt_tpu.io.ktx import load_ktx, save_ktx1
+    img = np.arange(4 * 4 * 4, dtype=np.uint8).reshape(4, 4, 4) * 3
+    p = tmp_path / "tex.ktx"
+    save_ktx1(str(p), img, srgb=True)
+    back = load_ktx(str(p))
+    assert back.shape == (4, 4, 4) and back.dtype == np.float32
+    u = img.astype(np.float32) / 255.0
+    lin = np.where(u <= 0.04045, u / 12.92, ((u + 0.055) / 1.055) ** 2.4)
+    np.testing.assert_allclose(back, lin, atol=1e-6)
+
+
+def test_ktx2_uncompressed(tmp_path):
+    """Hand-assembled minimal KTX2 (VK_FORMAT_R8G8B8A8_UNORM, no
+    supercompression) parses; supercompressed files are rejected."""
+    import struct
+    from gvrt_tpu.io.ktx import load_ktx
+    w = h = 2
+    payload = np.arange(w * h * 4, dtype=np.uint8).tobytes()
+    header = struct.pack("<IIIIIIII", 37, 1, w, h, 0, 0, 1, 1)
+    scheme = struct.pack("<I", 0)
+    # dfd/kvd/sgd byte ranges (unused by the reader): zeros
+    idx_tail = struct.pack("<IIIIQQ", 0, 0, 0, 0, 0, 0)
+    lvl_off = 12 + len(header) + len(scheme) + len(idx_tail) + 24
+    levels = struct.pack("<QQQ", lvl_off, len(payload), len(payload))
+    buf = (b"\xabKTX 20\xbb\r\n\x1a\n" + header + scheme + idx_tail
+           + levels + payload)
+    p = tmp_path / "tex.ktx2"
+    p.write_bytes(buf)
+    back = load_ktx(str(p))
+    assert back.shape == (h, w, 4)
+    np.testing.assert_allclose(
+        back, np.frombuffer(payload, np.uint8).reshape(h, w, 4) / 255.0,
+        atol=1e-7)
+    bad = bytearray(buf)
+    struct.pack_into("<I", bad, 44, 1)  # scheme=BasisLZ
+    p2 = tmp_path / "bad.ktx2"
+    p2.write_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="supercompressed"):
+        load_ktx(str(p2))
+
+
 def test_hybrid_pipeline_uses_cubemap():
     """A miss-only render must return cubemap colors per pixel direction."""
     from gvrt_tpu.hybrid.mesh import MeshScene

@@ -73,6 +73,38 @@ class TestTrace:
         np.testing.assert_allclose(float(out["u"][0]), 0.25, atol=1e-5)
         np.testing.assert_allclose(float(out["v"][0]), 0.25, atol=1e-5)
 
+    def test_morton_cull_matches_bruteforce(self):
+        """The chunk-AABB cull is conservative: Morton-reordered, culled,
+        block-split traversal must match the unordered brute scan exactly
+        (same triangles win: unique nearest t per ray by construction)."""
+        rng = np.random.default_rng(5)
+        # clustered triangles so Morton chunks have distinct AABBs
+        centers = rng.uniform(-4, 4, size=(60, 3))
+        tri = (centers[:, None, :]
+               + 0.3 * rng.standard_normal((60, 3, 3))).astype(np.float32)
+        packs = {
+            "brute": pack_triangles(tri, chunk=8, reorder=False),
+            "culled": pack_triangles(tri, chunk=8, reorder=True),
+        }
+        n_rays = 37  # not a multiple of any block size
+        o = rng.uniform(-6, 6, size=(n_rays, 3))
+        d = rng.standard_normal((n_rays, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        rays = jnp.asarray(np.concatenate([o, d], 1), jnp.float32)
+        tmin = jnp.zeros((n_rays,))
+        tmax = jnp.full((n_rays,), 1e30)
+        outs = {k: closest_hit(rays, p, tmin=tmin, block=16)
+                for k, p in packs.items()}
+        np.testing.assert_allclose(np.asarray(outs["culled"]["t"]),
+                                   np.asarray(outs["brute"]["t"]),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(outs["culled"]["tri"]),
+                                      np.asarray(outs["brute"]["tri"]))
+        occs = {k: occluded(rays, p, tmin, tmax, block=16)
+                for k, p in packs.items()}
+        np.testing.assert_array_equal(np.asarray(occs["culled"]),
+                                      np.asarray(occs["brute"]))
+
 
 class TestShadeMath:
     def test_fresnel_bounds(self):
