@@ -34,7 +34,13 @@ def blocked_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     xb = xp.reshape(-1, block, c)                       # (B, block, C)
     tri = jnp.tril(jnp.ones((block, block), x.dtype))
+    # bf16_3x, not the package-wide f32: the 0/1 triangular operand is exact
+    # in bf16 and 3-pass splitting of the data operand is f32-quality for
+    # gradient accumulation, at half the MXU passes (this einsum is
+    # O(pairs x block x cols) — ~60 GFLOP per backward at bench scale).
+    # 1-pass bf16 here was a measured on-chip test failure (TPU_TESTS_r03.md).
     incl = jnp.einsum("ij,bjc->bic", tri, xb,
+                      precision=jax.lax.Precision.HIGH,
                       preferred_element_type=jnp.float32)
     totals = xb.sum(axis=1)                             # (B, C)
     off = jnp.cumsum(totals, axis=0) - totals

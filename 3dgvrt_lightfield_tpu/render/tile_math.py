@@ -46,6 +46,16 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..ops.kernels import particle_response, particle_response_grad
 
+#: SH radiance dots run at 1-pass bf16 (DEFAULT), opting out of the
+#: package-wide f32 matmul default: coeffs/basis are O(1) and only feed
+#: 8-bit color + its cotangent, so bf16 products cost ~2e-3 relative there
+#: while f32 (HIGHEST) measured +39% per pair on the fused kernel (19.6 vs
+#: 14.1 ps/pair-eval, v5e).  The r3 on-chip grad failures were caused by
+#: bf16 in the DEPTH/cumsum/ray paths (now f32, TPU_TESTS_r03.md), not
+#: here — the grad suites re-pass on-chip with DEFAULT SH dots.  Mosaic
+#: lowers only DEFAULT/HIGHEST in Pallas, so bf16_3x is not an option.
+_SH_PRECISION = jax.lax.Precision.DEFAULT
+
 ACC_RGB = slice(0, 3)
 ACC_DEPTH = 3
 ACC_T = 4
@@ -163,7 +173,8 @@ def chunk_core(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
     out_rgb = []
     for c in range(3):
         sh_c = chunk[:, CH_SH + 16 * c:CH_SH + 16 * (c + 1)]       # (G, 16)
-        rad = jnp.dot(sh_c, basis16, preferred_element_type=f32) + 0.5
+        rad = jnp.dot(sh_c, basis16, precision=_SH_PRECISION,
+                      preferred_element_type=f32) + 0.5
         rad = jnp.maximum(rad, 0.0)
         out_rgb.append(jnp.sum(w * rad, axis=0, keepdims=True))    # (1, R)
 
@@ -241,11 +252,12 @@ def chunk_core_bwd(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
     bar_sh_cols = []
     for c in range(3):
         sh_c = chunk[:, CH_SH + 16 * c:CH_SH + 16 * (c + 1)]
-        rad_pre = jnp.dot(sh_c, basis16, preferred_element_type=f32) + 0.5
+        rad_pre = jnp.dot(sh_c, basis16, precision=_SH_PRECISION,
+                          preferred_element_type=f32) + 0.5
         rad = jnp.maximum(rad_pre, 0.0)
         bar_w = bar_w + bar_rgb[c:c + 1, :] * rad
         bar_pre = jnp.where(rad_pre > 0.0, bar_rgb[c:c + 1, :] * w, 0.0)
-        bar_sh_cols.append(jnp.dot(bar_pre, basis16.T,
+        bar_sh_cols.append(jnp.dot(bar_pre, basis16.T, precision=_SH_PRECISION,
                                    preferred_element_type=f32))  # (G, 16)
 
     bar_t = bar_dep * w                                          # (G, R)

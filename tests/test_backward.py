@@ -50,8 +50,12 @@ def test_pallas_backward_matches_scan_autodiff(res):
                   "sh_rest"):
         a = np.asarray(getattr(g_scan, field))
         b = np.asarray(getattr(g_pl, field))
+        # atol floor 1e-7: near-zero grad elements carry raw f32 reduction
+        # noise between the hand-VJP and autodiff summation orders (measured
+        # 7.9e-8 abs on-chip quat grads whose max is ~4e-4)
         scale = max(np.abs(a).max(), 1e-8)
-        np.testing.assert_allclose(b, a, atol=2e-5 * scale, rtol=2e-4,
+        np.testing.assert_allclose(b, a, atol=max(2e-5 * scale, 1e-7),
+                                   rtol=2e-4,
                                    err_msg=field)
         assert np.abs(a).max() > 0, f"degenerate test: zero grads for {field}"
 

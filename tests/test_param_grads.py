@@ -6,6 +6,8 @@ autodiff on random pair layouts, including padding, dropped pairs and
 count-0 (culled) gaussians.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -101,8 +103,13 @@ def test_binning_grads_match_brute_force():
 
     gt = jax.grad(loss_tiled)(model)
     gb = jax.grad(loss_brute)(model)
+    # on-chip, the tile pipeline's SH radiance dots run 1-pass bf16 (the
+    # deliberate _SH_PRECISION opt-out, tile_math.py) while the brute
+    # renderer's SH einsum is f32 — measured worst normalized grad delta
+    # 1.2e-3 (v5e, r3); CPU stays exact
+    atol = 2e-3 if os.environ.get("GVRT_TEST_TPU") else 5e-4
     for name in ("means", "scales_log", "quats", "opacity_logit", "sh_dc"):
         a, b = np.asarray(getattr(gt, name)), np.asarray(getattr(gb, name))
         scale = np.abs(b).max() + 1e-8
-        np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
+        np.testing.assert_allclose(a / scale, b / scale, atol=atol,
                                    err_msg=name)
