@@ -100,7 +100,9 @@ def cmd_render(args):
     model = _load_model(args)
     cams = _cameras(args, model)[: args.frames]
     if args.bands:
-        from .render.banded import render_image_banded, plan_capacity_banded
+        from .render.banded import (render_image_banded,
+                                    plan_capacity_banded, resolve_bands)
+        args.bands = resolve_bands(args.height, args.bands, DEFAULT_CONFIG)
         # plan over up to 4 representative cameras (like the unbanded path):
         # a plan from cams[0] alone silently truncates later frames' pairs
         capacity = (0, 0)

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..io.ply import SplatSet
 from ..ops.kernels import scale_activation, sigmoid
-from ..ops.quaternion import normalize_quat, quat_to_rotmat
+from ..ops.quaternion import normalize_quat, quat_to_rot9
 
 
 @jax.tree_util.register_dataclass
@@ -73,15 +73,20 @@ class GaussianModel:
     # ---- activated views ----------------------------------------------
     def activate(self) -> "ActivatedGaussians":
         q = normalize_quat(self.quats)
-        rot = quat_to_rotmat(q)
         scales = scale_activation(self.scales_log)
+        # everything stays 2D lane-dense: (N, 3, 3) / (N, 16, 3) arrays force
+        # XLA into (8, 128)-tiled layouts whose 3-wide minor dims pad up to
+        # 42-113x — a measured OOM at 5M gaussians (SCALE_r03.md)
+        sh_flat = jnp.concatenate(
+            [jnp.concatenate([self.sh_dc[:, c:c + 1], self.sh_rest[:, :, c]],
+                             axis=1) for c in range(3)], axis=1)
         return ActivatedGaussians(
             means=self.means,
             scales=scales,
             inv_scales=1.0 / scales,
-            rotmats=rot,
+            rot9=quat_to_rot9(q),
             densities=sigmoid(self.opacity_logit),
-            sh_coeffs=jnp.concatenate([self.sh_dc[:, None, :], self.sh_rest], axis=1),
+            sh_flat=sh_flat,
         )
 
     # ---- filtering ----------------------------------------------------
@@ -122,13 +127,29 @@ class GaussianModel:
 
 
 class ActivatedGaussians(NamedTuple):
-    """Activated per-Gaussian quantities fed to the renderer."""
+    """Activated per-Gaussian quantities fed to the renderer.
+
+    All fields are <= 2D with lane-dense minor dims (see activate()); the
+    production binning/gather paths do flat column arithmetic on rot9 and
+    sh_flat.  The `rotmats` / `sh_coeffs` properties provide the shaped
+    views for the brute-force reference renderer and tests (small scenes
+    only — the reshape materializes the padded layouts the flat fields
+    exist to avoid)."""
     means: jnp.ndarray       # (N, 3)
     scales: jnp.ndarray      # (N, 3)
     inv_scales: jnp.ndarray  # (N, 3)
-    rotmats: jnp.ndarray     # (N, 3, 3) local->world
+    rot9: jnp.ndarray        # (N, 9) row-major local->world rotation
     densities: jnp.ndarray   # (N,)
-    sh_coeffs: jnp.ndarray   # (N, 16, 3)
+    sh_flat: jnp.ndarray     # (N, 48) channel-major [R:16 | G:16 | B:16]
+
+    @property
+    def rotmats(self) -> jnp.ndarray:  # (N, 3, 3)
+        return self.rot9.reshape(self.rot9.shape[0], 3, 3)
+
+    @property
+    def sh_coeffs(self) -> jnp.ndarray:  # (N, 16, 3)
+        n = self.sh_flat.shape[0]
+        return jnp.swapaxes(self.sh_flat.reshape(n, 3, 16), 1, 2)
 
 
 def random_gaussians(key, n: int, extent: float = 1.0,

@@ -45,3 +45,23 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     r1 = jnp.stack([2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx)], axis=-1)
     r2 = jnp.stack([2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy)], axis=-1)
     return jnp.stack([r0, r1, r2], axis=-2)
+
+
+def quat_to_rot9(q: jnp.ndarray) -> jnp.ndarray:
+    """WXYZ quaternion(s) (N, 4) -> flat row-major rotation (N, 9).
+
+    Same matrix as `quat_to_rotmat` but emitted as a 2D lane-dense array:
+    (N, 3, 3) arrays force XLA into (8, 128)-tiled layouts that pad the
+    3-wide minor dims up to 113x at 5M-gaussian scale (measured OOM,
+    SCALE_r03.md) — the production pipeline keeps rotations flat and does
+    column arithmetic instead (render/binning.py).
+    """
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return jnp.stack([
+        1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy),
+        2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx),
+        2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy),
+    ], axis=-1)

@@ -34,10 +34,26 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig, DEFAULT_CONFIG
 from ..models.gaussians import GaussianModel
-from .binning import (band_rays, bin_gaussians, plan_capacity, unband_image,
-                      untile)
+from .binning import (band_rays, bin_topology, binned_scene,
+                      gather_from_rows, param_rows, plan_capacity,
+                      unband_image, untile)
 from .pallas_forward import forward_dispatch
 from .tiled import _camera_mats, _resolve_impl
+
+
+def resolve_bands(height: int, requested: int,
+                  cfg: RenderConfig = DEFAULT_CONFIG) -> int:
+    """Largest band count <= `requested` that divides the tile-row count.
+
+    Round-robin banding needs n_bands | (height/tile_size); e.g. 1088 px at
+    16-px tiles has 68 rows, so a requested 8 resolves to 4.  Callers use
+    this instead of asserting so 1080p-class heights just work.
+    """
+    ny = height // cfg.tile_size
+    for b in range(min(requested, ny), 0, -1):
+        if ny % b == 0:
+            return b
+    return 1
 
 
 def plan_capacity_banded(model: GaussianModel, camera, n_bands: int,
@@ -60,11 +76,17 @@ def _render_banded(act, w2c, proj, rays_bands, width, height, n_bands, cfg,
                    cap, cap_pad, impl):
     offsets = jnp.arange(n_bands, dtype=jnp.int32)
     lh = height // n_bands
+    # the (N+1, 64) parameter table is band-independent: build it ONCE per
+    # frame here instead of rematerializing it inside every band's
+    # checkpointed body (at 5M gaussians the per-band rebuild's temps were
+    # the OOM, SCALE_r03.md)
+    rows64 = param_rows(act, cfg)
 
     def body(overflow, inp):
         rays_b, off = inp
-        binned = bin_gaussians(act, w2c, proj, width, height, cfg, cap,
-                               cap_pad, row_offset=off, row_stride=n_bands)
+        topo = bin_topology(act, w2c, proj, width, height, cfg, cap,
+                            cap_pad, row_offset=off, row_stride=n_bands)
+        binned = binned_scene(gather_from_rows(rows64, topo, cfg), topo)
         acc = forward_dispatch(binned, rays_b, cfg, impl)
         img = untile(acc, width, lh, cfg.tile_size)
         return overflow + binned.overflow, img

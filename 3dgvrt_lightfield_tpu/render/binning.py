@@ -118,12 +118,25 @@ def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
     # norm of V and its support along any plane normal n is |V^T n| — no
     # world-AABB -> |W|-rotated-box double expansion (the r2 bound), and V
     # feeds the exact per-pair ellipsoid-vs-tile-frustum cull below.
-    vmat = jnp.einsum("ij,njk->nik", w2c[:3, :3], act.rotmats,
-                      preferred_element_type=jnp.float32)
-    vmat = vmat * (radius[:, None] * act.scales)[:, None, :]  # (N, 3, 3)
+    # Computed as flat (N,) column arithmetic with scalar W entries — a
+    # (N, 3, 3) einsum tempts XLA into transposed (8, 128)-tiled temp
+    # layouts that pad the 3-wide dims up to 113x (measured 5M-gaussian
+    # OOM, SCALE_r03.md); rot9[:, 3j+k] = R[j, k].
+    a_sc = radius[:, None] * act.scales                   # (N, 3)
+    v_cols = []
+    for i in range(3):
+        for k in range(3):
+            s = (w2c[i, 0] * act.rot9[:, k]
+                 + w2c[i, 1] * act.rot9[:, 3 + k]
+                 + w2c[i, 2] * act.rot9[:, 6 + k])
+            v_cols.append(s * a_sc[:, k])                 # V[i, k]
+    vmat9 = jnp.stack(v_cols, axis=1)                     # (N, 9) row-major
     cs = act.means @ w2c[:3, :3].T + w2c[:3, 3]           # (N, 3) cam space
     cc = cs
-    ec = jnp.sqrt(jnp.sum(vmat * vmat, axis=2))           # (N, 3)
+    ec = jnp.stack(
+        [jnp.sqrt(v_cols[3 * i] ** 2 + v_cols[3 * i + 1] ** 2
+                  + v_cols[3 * i + 2] ** 2) for i in range(3)],
+        axis=1)                                           # (N, 3)
     # screen bounds: clip = diag(P00, P11) and w = -z (perspective_vulkan /
     # raygen.rgen:119-121), so each ndc extreme is attained at one of the
     # four (coord, z) corner combinations — 4 products + min/max per axis.
@@ -182,7 +195,7 @@ def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
         ny = lny
 
     depth = -cs[:, 2]
-    return (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, vmat
+    return (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, vmat9
 
 
 def _scatter_cummax_fill(capacity: int, offsets, values, valid):
@@ -260,7 +273,7 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     may be a traced per-device scalar inside shard_map)."""
     g = cfg.chunk_size
     n = act.means.shape[0]
-    (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, vmat = _tile_ranges(
+    (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, vmat9 = _tile_ranges(
         act, w2c, proj, width, height, cfg, band=(row_offset, row_stride))
     num_tiles = nx * ny
 
@@ -299,7 +312,7 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
         [jnp.stack([tx0.astype(f32), ty0.astype(f32), rect_w.astype(f32),
                     off_hi, off_lo, depth_q.astype(f32),
                     cs[:, 0], cs[:, 1], cs[:, 2]], axis=1),
-         vmat.reshape(-1, 9)], axis=1)                        # (N, 18)
+         vmat9], axis=1)                                      # (N, 18)
     exp = exp_tab[pair_g]                                     # (capacity, 18)
     e_tx0 = exp[:, 0].astype(jnp.int32)
     e_ty0 = exp[:, 1].astype(jnp.int32)
@@ -384,43 +397,65 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     )
 
 
+def param_rows(act: ActivatedGaussians, cfg: RenderConfig) -> jnp.ndarray:
+    """Fused (N+1, 64) per-Gaussian parameter table (dummy row N = zeros).
+
+    Band/tile independent: the banded renderer builds this ONCE per frame
+    outside its band scan (it only depends on the parameters), and each
+    band gathers from it.  The world->unit-local frame is prefolded per
+    Gaussian (tile_math v2): M = diag(1/s) @ R^T and b = M @ mean, so the
+    kernel never touches scale/rotation separately.
+    """
+    n = act.means.shape[0]
+    # M = diag(1/s) @ R^T, flat column arithmetic (no (N, 3, 3) temps — the
+    # padded-layout OOM class, see _tile_ranges / SCALE_r03.md):
+    # m9[:, 3i+k] = M[i, k] = inv_s[:, i] * R[k, i], R[k, i] = rot9[:, 3k+i]
+    m_cols = [act.inv_scales[:, i] * act.rot9[:, 3 * k + i]
+              for i in range(3) for k in range(3)]
+    # b = M @ mean: b[:, i] = inv_s[:, i] * sum_k R[k, i] * mean[:, k]
+    b_cols = [act.inv_scales[:, i]
+              * (act.rot9[:, i] * act.means[:, 0]
+                 + act.rot9[:, 3 + i] * act.means[:, 1]
+                 + act.rot9[:, 6 + i] * act.means[:, 2])
+              for i in range(3)]
+    eye = jnp.eye(3, dtype=jnp.float32).reshape(1, 9)
+    geom_rows = jnp.concatenate([
+        jnp.concatenate([jnp.stack(m_cols, axis=1), eye], 0),
+        jnp.concatenate([jnp.stack(b_cols, axis=1), jnp.zeros((1, 3))], 0),
+        jnp.concatenate([act.densities[:, None], jnp.zeros((1, 1))], 0),
+        jnp.zeros((n + 1, 3), jnp.float32),
+    ], axis=1)  # (N+1, 16)
+
+    # one fused (N+1, 64) gather whose custom VJP is the scatter-free
+    # segmented reduction (param_grads.chunked_gather); gaussian-major
+    # output (num_chunks, G, 64) needs no transpose.  sh_flat is already
+    # channel-major [R:16 | G:16 | B:16] — exactly the kernel's CH_SH layout
+    rows64 = jnp.concatenate(
+        [geom_rows,
+         jnp.concatenate([act.sh_flat, jnp.zeros((1, 48))], 0)], axis=1)
+    # force the packed table to materialize: XLA otherwise fuses the concat
+    # INTO the gather, turning every gathered row into ~6 scattered source
+    # reads (measured 14 ms vs 7 ms for the same gather on v5e)
+    return jax.lax.optimization_barrier(rows64)
+
+
+def gather_from_rows(rows64: jnp.ndarray, topo: BinTopology,
+                     cfg: RenderConfig) -> jnp.ndarray:
+    """(N+1, 64) table + topology -> (num_chunks, G, 64) kernel blocks."""
+    return chunked_gather(cfg.chunk_size, rows64, topo.pair_gauss,
+                          topo.pair_sorted, topo.pair_dest,
+                          topo.gauss_offsets, topo.gauss_counts)
+
+
 def gather_chunks(act: ActivatedGaussians, topo: BinTopology,
                   cfg: RenderConfig) -> jnp.ndarray:
     """Gather fused per-pair parameter rows into (num_chunks, G, 64) blocks.
 
-    The differentiable half of binning (dummy row N has density 0 / identity
-    frame): the ONLY path gradients take through the binning pass, so a
-    training step may reuse a stale `topo` and still produce exactly the
-    gradients of its forward render.  The world->unit-local frame is
-    prefolded per Gaussian (tile_math v2): M = diag(1/s) @ R^T and
-    b = M @ mean, so the kernel never touches scale/rotation separately.
+    The differentiable half of binning: the ONLY path gradients take
+    through the binning pass, so a training step may reuse a stale `topo`
+    and still produce exactly the gradients of its forward render.
     """
-    n = act.means.shape[0]
-    m_mat = act.inv_scales[:, :, None] * jnp.swapaxes(act.rotmats, 1, 2)
-    b_vec = jnp.einsum("nij,nj->ni", m_mat, act.means,
-                       preferred_element_type=jnp.float32)
-    eye = jnp.eye(3, dtype=jnp.float32).reshape(1, 9)
-    geom_rows = jnp.concatenate([
-        jnp.concatenate([m_mat.reshape(n, 9), eye], 0),
-        jnp.concatenate([b_vec, jnp.zeros((1, 3))], 0),
-        jnp.concatenate([act.densities[:, None], jnp.zeros((1, 1))], 0),
-        jnp.zeros((n + 1, 3), jnp.float32),
-    ], axis=1)  # (N+1, 16)
-    sh_all = jnp.concatenate([act.sh_coeffs,
-                              jnp.zeros((1, 16, 3))], axis=0)  # (N+1, 16, 3)
-
-    # one fused (N+1, 64) gather whose custom VJP is the scatter-free
-    # segmented reduction (param_grads.chunked_gather); gaussian-major
-    # output (num_chunks, G, 64) needs no transpose
-    rows64 = jnp.concatenate(
-        [geom_rows, sh_all[..., 0], sh_all[..., 1], sh_all[..., 2]], axis=1)
-    # force the packed table to materialize: XLA otherwise fuses the concat
-    # INTO the gather, turning every gathered row into ~6 scattered source
-    # reads (measured 14 ms vs 7 ms for the same gather on v5e)
-    rows64 = jax.lax.optimization_barrier(rows64)
-    return chunked_gather(cfg.chunk_size, rows64, topo.pair_gauss,
-                          topo.pair_sorted, topo.pair_dest,
-                          topo.gauss_offsets, topo.gauss_counts)
+    return gather_from_rows(param_rows(act, cfg), topo, cfg)
 
 
 def binned_scene(chunks: jnp.ndarray, topo: BinTopology) -> BinnedScene:
@@ -469,7 +504,7 @@ def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
     motion), so the fine cull shrinks the gather and kernel grids too.
     `band` plans one tile-row shard (see bin_gaussians row_offset/stride).
     """
-    (tx0, ty0, tx1, ty1), valid, _, (nx, ny), cs, vmat = jax.tree.map(
+    (tx0, ty0, tx1, ty1), valid, _, (nx, ny), cs, vmat9 = jax.tree.map(
         np.asarray, _tile_ranges(act, jnp.asarray(w2c), jnp.asarray(proj),
                                  width, height, cfg, band=band))
     counts = np.where(valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
@@ -486,7 +521,7 @@ def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
     tile_y = ty0[pg] + j // rect_w[pg]
     keep = np.asarray(_pair_ellipsoid_cull(
         tile_x, tile_y * band[1] + band[0],
-        cs[pg, 0], cs[pg, 1], cs[pg, 2], vmat.reshape(-1, 9)[pg],
+        cs[pg, 0], cs[pg, 1], cs[pg, 2], vmat9[pg],
         float(np.asarray(proj)[0, 0]), float(np.asarray(proj)[1, 1]),
         width, height, cfg.tile_size))
     tile_id = (tile_y * nx + tile_x)[keep]

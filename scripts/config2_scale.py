@@ -19,7 +19,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import gvrt_tpu as g3
-from gvrt_tpu.render.banded import render_image_banded, plan_capacity_banded
+from gvrt_tpu.render.banded import (render_image_banded,
+                                    plan_capacity_banded, resolve_bands)
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
 BANDS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -28,6 +29,8 @@ H = int(sys.argv[4]) if len(sys.argv) > 4 else 1088
 K = int(os.environ.get("GVRT_CHAIN", 4))
 
 cfg = g3.DEFAULT_CONFIG
+BANDS = resolve_bands(H, BANDS, cfg)
+print(f"bands resolved to {BANDS} (tile rows {H // cfg.tile_size})", flush=True)
 # garden-like: big scene extent, sub-pixel to few-pixel gaussians
 model = g3.random_gaussians(jax.random.key(0), N, extent=2.0,
                             scale_range=(-7.5, -5.5))

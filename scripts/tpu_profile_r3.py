@@ -79,11 +79,15 @@ def timeit(name, fn, reps=3):
 
 
 def chain(body):
-    """K-iteration fori_loop with a scalar data dependency through `eps`."""
-    def run(x0):
+    """K-iteration fori_loop with a scalar data dependency through `eps`.
+
+    Big device arrays MUST come in through *ops (jit arguments), never as
+    closure constants: axon's remote compile POSTs the serialized graph,
+    and a captured 470 MB chunk array overflows it (HTTP 413, measured)."""
+    def run(x0, *ops):
         def step(i, carry):
             eps, acc = carry
-            out = body(eps)
+            out = body(eps, *ops)
             return (0.0 * out + eps, acc + out)
         return jax.lax.fori_loop(0, K, step, (x0, 0.0))
     return jax.jit(run)
@@ -123,12 +127,12 @@ if "act" in stages:
     timeit("activate", lambda: run_act(0.0))
 
 if "fwd" in stages:
-    def fwd_body(eps):
-        sc = binned_scene(chunks + eps, topo)
-        acc = forward_tiles(sc, rays, cfg)
+    def fwd_body(eps, ch, ry):
+        sc = binned_scene(ch + eps, topo)
+        acc = forward_tiles(sc, ry, cfg)
         return acc[0, 0, 0]
     run_fwd = chain(fwd_body)
-    timeit("fwd kernel", lambda: run_fwd(0.0))
+    timeit("fwd kernel", lambda: run_fwd(0.0, chunks, rays))
 
 if "untile" in stages:
     acc0 = jax.jit(lambda ch: forward_tiles(binned_scene(ch, topo), rays,
@@ -136,11 +140,11 @@ if "untile" in stages:
     sync(acc0)
     target = jnp.zeros((H, W, 3)) + 0.3
 
-    def untile_body(eps):
-        img = untile(acc0 + eps, W, H, cfg.tile_size)
+    def untile_body(eps, a0):
+        img = untile(a0 + eps, W, H, cfg.tile_size)
         return jnp.mean((img[..., 0:3] - target) ** 2)
     run_untile = chain(untile_body)
-    timeit("untile+loss", lambda: run_untile(0.0))
+    timeit("untile+loss", lambda: run_untile(0.0, acc0))
 
 if "bwd" in stages:
     accres, tin = jax.jit(lambda ch: _forward_call(
@@ -148,16 +152,17 @@ if "bwd" in stages:
     sync(tin)
     bar_acc = jnp.ones_like(accres)
 
-    def bwd_body(eps):
-        outs = _render_bwd(cfg, False, (chunks + eps, rays, topo.chunk_tile,
-                                        tin), bar_acc)
+    def bwd_body(eps, ch, ry, ti):
+        outs = _render_bwd(cfg, False, (ch + eps, ry, topo.chunk_tile,
+                                        ti), bar_acc)
         return outs[0][0, 0, 12]
     run_fres = chain(
-        lambda eps: _forward_call(cfg, False, True, chunks + eps, rays,
-                                  topo.chunk_tile, topo.chunk_first)[1][0, 0])
-    timeit("fwd(resid)", lambda: run_fres(0.0))
+        lambda eps, ch, ry: _forward_call(cfg, False, True, ch + eps, ry,
+                                          topo.chunk_tile,
+                                          topo.chunk_first)[1][0, 0])
+    timeit("fwd(resid)", lambda: run_fres(0.0, chunks, rays))
     run_bwd = chain(bwd_body)
-    timeit("bwd kernel", lambda: run_bwd(0.0))
+    timeit("bwd kernel", lambda: run_bwd(0.0, chunks, rays, tin))
 
 if "reduce" in stages:
     from gvrt_tpu.render.param_grads import _gather_bwd
@@ -165,11 +170,44 @@ if "reduce" in stages:
            topo.gauss_offsets, topo.gauss_counts)
     bar = jnp.ones_like(chunks)
 
-    def red_body(eps):
-        g = _gather_bwd(cfg.chunk_size, res, bar + eps)
+    def red_body(eps, b):
+        g = _gather_bwd(cfg.chunk_size, res, b + eps)
         return g[0][0, 0]
     run_red = chain(red_body)
-    timeit("param-grad reduce", lambda: run_red(0.0))
+    timeit("param-grad reduce", lambda: run_red(0.0, bar))
+
+if "reduce_sub" in stages:
+    from gvrt_tpu.render.param_grads import blocked_cumsum
+    bar = jnp.ones_like(chunks)
+    bar_flat0 = bar.reshape(-1, bar.shape[2])
+    _, pair_pos0 = jax.lax.sort_key_val(topo.pair_sorted, topo.pair_dest)
+    sync(pair_pos0)
+    bar_pre0 = jax.jit(
+        lambda bf, pp: jnp.concatenate(
+            [bf, jnp.zeros((1, bf.shape[1]), bf.dtype)])[pp])(
+        bar_flat0, pair_pos0)
+    sync(bar_pre0)
+    cum_c = jax.jit(blocked_cumsum)(bar_pre0)
+    sync(cum_c)
+
+    run_s = chain(lambda eps, ps, pd: jax.lax.sort_key_val(
+        ps, pd + eps.astype(jnp.int32))[1][0].astype(jnp.float32))
+    timeit("reduce: sort-invert", lambda: run_s(
+        0.0, topo.pair_sorted, topo.pair_dest))
+    run_g = chain(lambda eps, bf, pp: jnp.concatenate(
+        [bf + eps, jnp.zeros((1, bf.shape[1]), bf.dtype)])[pp][0, 0])
+    timeit("reduce: row gather", lambda: run_g(0.0, bar_flat0, pair_pos0))
+    run_c = chain(lambda eps, bp: blocked_cumsum(bp + eps)[-1, 0])
+    timeit("reduce: cumsum", lambda: run_c(0.0, bar_pre0))
+
+    def diff_body(eps, cm):
+        cum0 = jnp.concatenate([jnp.zeros((1, cm.shape[1]), cm.dtype),
+                                cm + eps])
+        lo = jnp.clip(topo.gauss_offsets, 0, cm.shape[0])
+        hi = jnp.clip(topo.gauss_offsets + topo.gauss_counts, 0, cm.shape[0])
+        return (cum0[hi] - cum0[lo])[0, 0]
+    run_d = chain(diff_body)
+    timeit("reduce: seg diff", lambda: run_d(0.0, cum_c))
 
 if "full" in stages:
     target = jnp.zeros((H, W, 3)) + 0.3
