@@ -73,8 +73,8 @@ class BinTopology(NamedTuple):
     overflow: jnp.ndarray    # () int32 rect pairs dropped (capacity) +
                              #    padded slots dropped (capacity_padded)
     pair_gauss: jnp.ndarray  # (capacity_padded,) int32 gaussian id per slot (N = pad)
-    pair_sorted: jnp.ndarray # (capacity,) int32 sorted pair -> pre-sort pair
-    pair_dest: jnp.ndarray   # (capacity,) int32 sorted pair -> padded slot
+    pair_pos: jnp.ndarray    # (capacity,) int32 PRE-SORT pair -> padded slot
+                             #    (capacity_padded = culled/dropped)
     gauss_offsets: jnp.ndarray  # (N,) int32 pre-sort pair range start
     gauss_counts: jnp.ndarray   # (N,) int32 pre-sort pair range length
 
@@ -89,22 +89,36 @@ class BinnedScene(NamedTuple):
     overflow: jnp.ndarray    # () int32 rect pairs dropped (capacity) +
                              #    padded slots dropped (capacity_padded)
     pair_gauss: jnp.ndarray  # (capacity_padded,) int32 gaussian id per slot (N = pad)
-    pair_sorted: jnp.ndarray # (capacity,) int32 sorted pair -> pre-sort pair
-    pair_dest: jnp.ndarray   # (capacity,) int32 sorted pair -> padded slot
+    pair_pos: jnp.ndarray    # (capacity,) int32 PRE-SORT pair -> padded slot
+                             #    (capacity_padded = culled/dropped)
     gauss_offsets: jnp.ndarray  # (N,) int32 pre-sort pair range start
     gauss_counts: jnp.ndarray   # (N,) int32 pre-sort pair range length
 
 
-def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
-                 cfg: RenderConfig, band=(0, 1)):
-    """Conservative per-Gaussian tile rectangle + validity + view depth.
+class FrameCullTable(NamedTuple):
+    """Band-independent per-Gaussian frame geometry — ALL (N,) 1D columns.
 
-    `band = (offset, stride)` restricts the result to every stride-th tile
-    ROW starting at `offset` (round-robin tile-row sharding across devices;
-    stride must divide the tile-row count and be static, offset may be a
-    traced per-device scalar).  Returned ty0/ty1 are LOCAL row indices
-    within the band; (nx, ny) is the local grid.
+    1D on purpose: any (N, C<128) f32 2D array occupies N x 128 lanes under
+    the TPU's (8, 128) tiling (2.38 GiB per array at 5M gaussians — the
+    measured config[2] OOM class, SCALE_r03.md), while (N,) columns pad to
+    nothing.  The banded renderer computes this table ONCE per frame and
+    every band derives its local rects/expansion from it, so no
+    gaussian-count-sized 2D temp lives across the band scan except the
+    single packed exp_tab of the band being binned.
     """
+    tx0: jnp.ndarray    # (N,) int32 GLOBAL tile rect
+    ty0: jnp.ndarray
+    tx1: jnp.ndarray
+    ty1: jnp.ndarray
+    valid: jnp.ndarray  # (N,) bool
+    depth: jnp.ndarray  # (N,) f32 view depth (-z cam)
+    cs: tuple           # 3 x (N,) f32 camera-space center
+    v: tuple            # 9 x (N,) f32 ellipsoid matrix V, row-major
+
+
+def frame_cull_table(act: ActivatedGaussians, w2c, proj, width, height,
+                     cfg: RenderConfig) -> FrameCullTable:
+    """Per-Gaussian GLOBAL tile rects + cull geometry (see FrameCullTable)."""
     ts = cfg.tile_size
     nx, ny = width // ts, height // ts
 
@@ -130,17 +144,15 @@ def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
                  + w2c[i, 1] * act.rot9[:, 3 + k]
                  + w2c[i, 2] * act.rot9[:, 6 + k])
             v_cols.append(s * a_sc[:, k])                 # V[i, k]
-    vmat9 = jnp.stack(v_cols, axis=1)                     # (N, 9) row-major
-    cs = act.means @ w2c[:3, :3].T + w2c[:3, 3]           # (N, 3) cam space
-    cc = cs
-    ec = jnp.stack(
-        [jnp.sqrt(v_cols[3 * i] ** 2 + v_cols[3 * i + 1] ** 2
-                  + v_cols[3 * i + 2] ** 2) for i in range(3)],
-        axis=1)                                           # (N, 3)
+    cs_cols = tuple(
+        w2c[i, 0] * act.means[:, 0] + w2c[i, 1] * act.means[:, 1]
+        + w2c[i, 2] * act.means[:, 2] + w2c[i, 3] for i in range(3))
+    ec = [jnp.sqrt(v_cols[3 * i] ** 2 + v_cols[3 * i + 1] ** 2
+                   + v_cols[3 * i + 2] ** 2) for i in range(3)]
     # screen bounds: clip = diag(P00, P11) and w = -z (perspective_vulkan /
     # raygen.rgen:119-121), so each ndc extreme is attained at one of the
     # four (coord, z) corner combinations — 4 products + min/max per axis.
-    z_lo, z_hi = cc[:, 2] - ec[:, 2], cc[:, 2] + ec[:, 2]
+    z_lo, z_hi = cs_cols[2] - ec[2], cs_cols[2] + ec[2]
     all_behind = z_lo > -cfg.near                         # camera looks -z
     any_behind = z_hi > -cfg.near
 
@@ -157,9 +169,9 @@ def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
                 jnp.maximum(jnp.maximum(cands[0], cands[1]),
                             jnp.maximum(cands[2], cands[3])))
 
-    ndc_x0, ndc_x1 = ndc_range(cc[:, 0] - ec[:, 0], cc[:, 0] + ec[:, 0],
+    ndc_x0, ndc_x1 = ndc_range(cs_cols[0] - ec[0], cs_cols[0] + ec[0],
                                proj[0, 0])
-    ndc_y0, ndc_y1 = ndc_range(cc[:, 1] - ec[:, 1], cc[:, 1] + ec[:, 1],
+    ndc_y0, ndc_y1 = ndc_range(cs_cols[1] - ec[1], cs_cols[1] + ec[1],
                                proj[1, 1])
     px_x0 = (ndc_x0 * 0.5 + 0.5) * width
     px_x1 = (ndc_x1 * 0.5 + 0.5) * width
@@ -183,19 +195,41 @@ def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
     tx1 = jnp.clip(jnp.floor(px_x1 / ts).astype(jnp.int32), 0, nx - 1)
     ty1 = jnp.clip(jnp.floor(px_y1 / ts).astype(jnp.int32), 0, ny - 1)
 
+    return FrameCullTable(tx0, ty0, tx1, ty1, valid, -cs_cols[2],
+                          cs_cols, tuple(v_cols))
+
+
+def _band_localize(tab: FrameCullTable, ny: int, band):
+    """Global tile rects -> LOCAL rows of the (offset, stride) band."""
     offset, stride = band
+    tx0, ty0, tx1, ty1 = tab.tx0, tab.ty0, tab.tx1, tab.ty1
+    valid = tab.valid
     if stride != 1:
         assert ny % stride == 0, (ny, stride)
         lny = ny // stride
         ly0 = (ty0 - offset + stride - 1) // stride   # ceil((ty0-off)/stride)
         ly1 = (ty1 - offset) // stride                # floor
-        valid &= (ly1 >= ly0) & (ly1 >= 0) & (ly0 <= lny - 1)
+        valid = valid & (ly1 >= ly0) & (ly1 >= 0) & (ly0 <= lny - 1)
         ty0 = jnp.clip(ly0, 0, lny - 1)
         ty1 = jnp.clip(ly1, 0, lny - 1)
         ny = lny
+    return (tx0, ty0, tx1, ty1), valid, ny
 
-    depth = -cs[:, 2]
-    return (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, vmat9
+
+def _tile_ranges(act: ActivatedGaussians, w2c, proj, width, height,
+                 cfg: RenderConfig, band=(0, 1)):
+    """Conservative per-Gaussian tile rectangle + validity + view depth.
+
+    `band = (offset, stride)` restricts the result to every stride-th tile
+    ROW starting at `offset` (round-robin tile-row sharding across devices;
+    stride must divide the tile-row count and be static, offset may be a
+    traced per-device scalar).  Returned ty0/ty1 are LOCAL row indices
+    within the band; (nx, ny) is the local grid.
+    """
+    nx, ny = width // cfg.tile_size, height // cfg.tile_size
+    tab = frame_cull_table(act, w2c, proj, width, height, cfg)
+    rects, valid, ny = _band_localize(tab, ny, band)
+    return rects, valid, tab.depth, (nx, ny), tab.cs, tab.v
 
 
 def _scatter_cummax_fill(capacity: int, offsets, values, valid):
@@ -271,10 +305,28 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     With `row_stride > 1` the pass bins only every stride-th tile row
     starting at `row_offset` (round-robin tile-row sharding; `row_offset`
     may be a traced per-device scalar inside shard_map)."""
+    tab = frame_cull_table(act, w2c, proj, width, height, cfg)
+    return bin_topology_from_table(tab, proj, width, height, cfg, capacity,
+                                   capacity_padded, row_offset, row_stride)
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height", "capacity",
+                                   "capacity_padded", "row_stride"))
+def bin_topology_from_table(tab: FrameCullTable, proj: jnp.ndarray,
+                            width: int, height: int, cfg: RenderConfig,
+                            capacity: int, capacity_padded: int,
+                            row_offset=0, row_stride: int = 1) -> BinTopology:
+    """Topology from a precomputed frame table (see FrameCullTable).
+
+    The banded renderer computes the table once per frame and calls this
+    per band — the only gaussian-count-sized 2D temp is this band's packed
+    expansion table."""
     g = cfg.chunk_size
-    n = act.means.shape[0]
-    (tx0, ty0, tx1, ty1), valid, depth, (nx, ny), cs, vmat9 = _tile_ranges(
-        act, w2c, proj, width, height, cfg, band=(row_offset, row_stride))
+    n = tab.tx0.shape[0]
+    nx = width // cfg.tile_size
+    (tx0, ty0, tx1, ty1), valid, ny = _band_localize(
+        tab, height // cfg.tile_size, (row_offset, row_stride))
+    depth = tab.depth
     num_tiles = nx * ny
 
     rect_w = tx1 - tx0 + 1
@@ -308,11 +360,10 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     f32 = jnp.float32
     off_hi = (offsets >> 12).astype(f32)
     off_lo = (offsets & 0xFFF).astype(f32)
-    exp_tab = jnp.concatenate(
-        [jnp.stack([tx0.astype(f32), ty0.astype(f32), rect_w.astype(f32),
-                    off_hi, off_lo, depth_q.astype(f32),
-                    cs[:, 0], cs[:, 1], cs[:, 2]], axis=1),
-         vmat9], axis=1)                                      # (N, 18)
+    exp_tab = jnp.stack(
+        [tx0.astype(f32), ty0.astype(f32), rect_w.astype(f32),
+         off_hi, off_lo, depth_q.astype(f32),
+         tab.cs[0], tab.cs[1], tab.cs[2], *tab.v], axis=1)    # (N, 18)
     exp = exp_tab[pair_g]                                     # (capacity, 18)
     e_tx0 = exp[:, 0].astype(jnp.int32)
     e_ty0 = exp[:, 1].astype(jnp.int32)
@@ -382,6 +433,11 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     # the wide data moves by GATHER below)
     pair_gauss = jnp.full((capacity_padded,), n, jnp.int32)
     pair_gauss = pair_gauss.at[dest_drop].set(g_sorted, mode="drop")
+    # invert the sort permutation HERE (pre-sort pair -> padded slot): the
+    # gather VJP needs it every backward, and it is pure topology — carrying
+    # it saves a 1.8M-element sort per training step (measured 5.9 ms/step)
+    pair_pos = jnp.full((capacity,), capacity_padded, jnp.int32)
+    pair_pos = pair_pos.at[p_sorted].set(dest_drop, mode="drop")
 
     return BinTopology(
         chunk_tile=chunk_tile,
@@ -390,8 +446,7 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
         num_pairs=tile_edges[num_tiles],
         overflow=overflow,
         pair_gauss=pair_gauss,
-        pair_sorted=p_sorted,
-        pair_dest=dest_drop,
+        pair_pos=pair_pos,
         gauss_offsets=offsets,
         gauss_counts=counts,
     )
@@ -407,9 +462,9 @@ def param_rows(act: ActivatedGaussians, cfg: RenderConfig) -> jnp.ndarray:
     kernel never touches scale/rotation separately.
     """
     n = act.means.shape[0]
-    # M = diag(1/s) @ R^T, flat column arithmetic (no (N, 3, 3) temps — the
-    # padded-layout OOM class, see _tile_ranges / SCALE_r03.md):
-    # m9[:, 3i+k] = M[i, k] = inv_s[:, i] * R[k, i], R[k, i] = rot9[:, 3k+i]
+    # M = diag(1/s) @ R^T: m[3i+k] = M[i, k] = inv_s[:, i] * R[k, i],
+    # with R[k, i] = rot9[:, 3k+i]; dummy row N = identity frame, zero
+    # density/radiance.
     m_cols = [act.inv_scales[:, i] * act.rot9[:, 3 * k + i]
               for i in range(3) for k in range(3)]
     # b = M @ mean: b[:, i] = inv_s[:, i] * sum_k R[k, i] * mean[:, k]
@@ -418,23 +473,42 @@ def param_rows(act: ActivatedGaussians, cfg: RenderConfig) -> jnp.ndarray:
                  + act.rot9[:, 3 + i] * act.means[:, 1]
                  + act.rot9[:, 6 + i] * act.means[:, 2])
               for i in range(3)]
-    eye = jnp.eye(3, dtype=jnp.float32).reshape(1, 9)
-    geom_rows = jnp.concatenate([
-        jnp.concatenate([jnp.stack(m_cols, axis=1), eye], 0),
-        jnp.concatenate([jnp.stack(b_cols, axis=1), jnp.zeros((1, 3))], 0),
-        jnp.concatenate([act.densities[:, None], jnp.zeros((1, 1))], 0),
-        jnp.zeros((n + 1, 3), jnp.float32),
-    ], axis=1)  # (N+1, 16)
 
-    # one fused (N+1, 64) gather whose custom VJP is the scatter-free
-    # segmented reduction (param_grads.chunked_gather); gaussian-major
-    # output (num_chunks, G, 64) needs no transpose.  sh_flat is already
-    # channel-major [R:16 | G:16 | B:16] — exactly the kernel's CH_SH layout
-    rows64 = jnp.concatenate(
-        [geom_rows,
-         jnp.concatenate([act.sh_flat, jnp.zeros((1, 48))], 0)], axis=1)
-    # force the packed table to materialize: XLA otherwise fuses the concat
-    # INTO the gather, turning every gathered row into ~6 scattered source
+    if n > 1_500_000:
+        # at-scale build: every column becomes 1D (N,), gets its dummy-row
+        # value appended while STILL 1D, and the table is emitted by ONE
+        # stack.  Any (N, C<128) 2D intermediate occupies N x 128 lanes
+        # under the TPU's (8, 128) tiling — the 2D build below holds seven
+        # such temps alive at once, a measured 16.7 GiB at 5M gaussians
+        # (SCALE_r03.md).  The 64-way 1D stack is XLA-hostile at small N
+        # (bench regression 124 -> 146 ms/frame, compile 862 s), so it is
+        # gated to scenes where the 2D temps would actually threaten HBM.
+        eye9 = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+        one = jnp.ones((1,), jnp.float32)
+        zero = jnp.zeros((1,), jnp.float32)
+        cols = [jnp.concatenate([m, eye9[j] * one])
+                for j, m in enumerate(m_cols)]
+        cols += [jnp.concatenate([b, zero]) for b in b_cols]
+        cols.append(jnp.concatenate([act.densities, zero]))   # col 12
+        cols += [jnp.zeros((n + 1,), jnp.float32)] * 3        # cols 13:16
+        # sh_flat is already channel-major [R:16|G:16|B:16] — the kernel's
+        # CH_SH layout (cols 16:64)
+        cols += [jnp.concatenate([act.sh_flat[:, j], zero]) for j in range(48)]
+        rows64 = jnp.stack(cols, axis=1)
+    else:
+        eye = jnp.eye(3, dtype=jnp.float32).reshape(1, 9)
+        geom_rows = jnp.concatenate([
+            jnp.concatenate([jnp.stack(m_cols, axis=1), eye], 0),
+            jnp.concatenate([jnp.stack(b_cols, axis=1), jnp.zeros((1, 3))], 0),
+            jnp.concatenate([act.densities[:, None], jnp.zeros((1, 1))], 0),
+            jnp.zeros((n + 1, 3), jnp.float32),
+        ], axis=1)  # (N+1, 16)
+        rows64 = jnp.concatenate(
+            [geom_rows,
+             jnp.concatenate([act.sh_flat, jnp.zeros((1, 48))], 0)], axis=1)
+
+    # force the packed table to materialize: XLA otherwise fuses the build
+    # INTO the gather, turning every gathered row into many scattered source
     # reads (measured 14 ms vs 7 ms for the same gather on v5e)
     return jax.lax.optimization_barrier(rows64)
 
@@ -443,8 +517,8 @@ def gather_from_rows(rows64: jnp.ndarray, topo: BinTopology,
                      cfg: RenderConfig) -> jnp.ndarray:
     """(N+1, 64) table + topology -> (num_chunks, G, 64) kernel blocks."""
     return chunked_gather(cfg.chunk_size, rows64, topo.pair_gauss,
-                          topo.pair_sorted, topo.pair_dest,
-                          topo.gauss_offsets, topo.gauss_counts)
+                          topo.pair_pos, topo.gauss_offsets,
+                          topo.gauss_counts)
 
 
 def gather_chunks(act: ActivatedGaussians, topo: BinTopology,
@@ -494,19 +568,29 @@ def _bucket_capacity(v: int, g: int, ratio: float = 1.25) -> int:
     return int(math.ceil(g * ratio ** k / g)) * g
 
 
-def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
-                  cfg: RenderConfig, slack: float = 1.3, band=(0, 1)):
-    """Measure pair counts once (host NumPy) to pick static capacities.
+def plan_capacity_from_table(tab: FrameCullTable, proj, width, height,
+                             cfg: RenderConfig, slack: float = 1.3,
+                             band=(0, 1)):
+    """Host-NumPy capacity plan from a (host) frame table — see plan_capacity.
 
-    `capacity` sizes the pre-cull expansion+sort arrays (rect pairs);
-    `capacity_padded` sizes the chunked kernel arrays and is planned from the
-    post-cull per-tile survivor counts (chunk-rounded, with slack for camera
-    motion), so the fine cull shrinks the gather and kernel grids too.
-    `band` plans one tile-row shard (see bin_gaussians row_offset/stride).
-    """
-    (tx0, ty0, tx1, ty1), valid, _, (nx, ny), cs, vmat9 = jax.tree.map(
-        np.asarray, _tile_ranges(act, jnp.asarray(w2c), jnp.asarray(proj),
-                                 width, height, cfg, band=band))
+    Callers planning many bands of one frame (plan_capacity_banded) compute
+    `frame_cull_table` once and call this per band instead of re-running the
+    device pass per band."""
+    ts = cfg.tile_size
+    nx, ny = width // ts, height // ts
+    tx0, tx1 = np.asarray(tab.tx0), np.asarray(tab.tx1)
+    ty0, ty1 = np.asarray(tab.ty0), np.asarray(tab.ty1)
+    valid = np.asarray(tab.valid)
+    offset, stride = band
+    if stride != 1:
+        assert ny % stride == 0, (ny, stride)
+        lny = ny // stride
+        ly0 = -(-(ty0 - offset) // stride)            # ceil
+        ly1 = (ty1 - offset) // stride                # floor
+        valid = valid & (ly1 >= ly0) & (ly1 >= 0) & (ly0 <= lny - 1)
+        ty0 = np.clip(ly0, 0, lny - 1)
+        ty1 = np.clip(ly1, 0, lny - 1)
+        ny = lny
     counts = np.where(valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
     total = int(counts.sum())
     g = cfg.chunk_size
@@ -519,9 +603,11 @@ def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
     j = np.arange(total) - np.repeat(offs, counts)
     tile_x = tx0[pg] + j % rect_w[pg]
     tile_y = ty0[pg] + j // rect_w[pg]
+    cs = [np.asarray(c) for c in tab.cs]
+    v9 = np.stack([np.asarray(c) for c in tab.v], axis=1)
     keep = np.asarray(_pair_ellipsoid_cull(
         tile_x, tile_y * band[1] + band[0],
-        cs[pg, 0], cs[pg, 1], cs[pg, 2], vmat9[pg],
+        cs[0][pg], cs[1][pg], cs[2][pg], v9[pg],
         float(np.asarray(proj)[0, 0]), float(np.asarray(proj)[1, 1]),
         width, height, cfg.tile_size))
     tile_id = (tile_y * nx + tile_x)[keep]
@@ -535,6 +621,22 @@ def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
     # snap to the compile-shape grid (see _bucket_capacity): re-plans after
     # drift/overflow reuse already-compiled pipeline shapes
     return _bucket_capacity(capacity, g), _bucket_capacity(capacity_padded, g)
+
+
+def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
+                  cfg: RenderConfig, slack: float = 1.3, band=(0, 1)):
+    """Measure pair counts once (host NumPy) to pick static capacities.
+
+    `capacity` sizes the pre-cull expansion+sort arrays (rect pairs);
+    `capacity_padded` sizes the chunked kernel arrays and is planned from the
+    post-cull per-tile survivor counts (chunk-rounded, with slack for camera
+    motion), so the fine cull shrinks the gather and kernel grids too.
+    `band` plans one tile-row shard (see bin_gaussians row_offset/stride).
+    """
+    tab = jax.tree.map(np.asarray, frame_cull_table(
+        act, jnp.asarray(w2c), jnp.asarray(proj), width, height, cfg))
+    return plan_capacity_from_table(tab, proj, width, height, cfg, slack,
+                                    band)
 
 
 def tile_rays(camera, cfg: RenderConfig, aabb=None, tmax_clip=None):

@@ -34,13 +34,12 @@ def blocked_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     xb = xp.reshape(-1, block, c)                       # (B, block, C)
     tri = jnp.tril(jnp.ones((block, block), x.dtype))
-    # bf16_3x, not the package-wide f32: the 0/1 triangular operand is exact
-    # in bf16 and 3-pass splitting of the data operand is f32-quality for
-    # gradient accumulation, at half the MXU passes (this einsum is
-    # O(pairs x block x cols) — ~60 GFLOP per backward at bench scale).
-    # 1-pass bf16 here was a measured on-chip test failure (TPU_TESTS_r03.md).
+    # full-f32 MXU passes (the package default): prefix sums amplify input
+    # rounding with segment length — bf16_3x measured 1.4e-4 abs error on
+    # 1000-long prefixes (on-chip), 1-pass bf16 measured 97% mismatch
+    # (TPU_TESTS_r03.md).  Costs ~2-3 ms per backward at bench scale;
+    # gradient exactness is the contract here.
     incl = jnp.einsum("ij,bjc->bic", tri, xb,
-                      precision=jax.lax.Precision.HIGH,
                       preferred_element_type=jnp.float32)
     totals = xb.sum(axis=1)                             # (B, C)
     off = jnp.cumsum(totals, axis=0) - totals
@@ -49,18 +48,17 @@ def blocked_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def chunked_gather(chunk_size: int, rows: jnp.ndarray, pair_gauss: jnp.ndarray,
-                   pair_sorted: jnp.ndarray, pair_dest: jnp.ndarray,
+                   pair_pos: jnp.ndarray,
                    offsets: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
     """rows (N+1, C) -> (num_chunks, G, C) per-chunk parameter blocks.
 
     Forward is exactly `rows[pair_gauss]` reshaped for the kernel — the
     gaussian-major layout means no transpose anywhere; backward is the
     scatter-free segmented reduction described in the module doc.
-    `pair_gauss` maps padded slot -> row id (N = dummy); `pair_sorted` /
-    `pair_dest` give, per SORTED pair, its pre-sort pair id and padded slot
-    (P_pad = dropped) — the backward inverts that permutation lazily (one
-    sort), so forward-only renders never pay for it; `offsets`/`counts` give
-    each Gaussian's contiguous pre-sort pair range.
+    `pair_gauss` maps padded slot -> row id (N = dummy); `pair_pos` maps
+    PRE-SORT pair -> padded slot (P_pad = culled/dropped), computed once in
+    bin_topology so no per-backward sort; `offsets`/`counts` give each
+    Gaussian's contiguous pre-sort pair range.
     """
     return _gather_impl(chunk_size, rows, pair_gauss)
 
@@ -71,37 +69,42 @@ def _gather_impl(chunk_size, rows, pair_gauss):
     return rows[pair_gauss].reshape(p_pad // chunk_size, chunk_size, c)
 
 
-def _gather_fwd(chunk_size, rows, pair_gauss, pair_sorted, pair_dest,
-                offsets, counts):
+def _gather_fwd(chunk_size, rows, pair_gauss, pair_pos, offsets, counts):
     out = _gather_impl(chunk_size, rows, pair_gauss)
-    return out, (rows.shape[0], pair_gauss, pair_sorted, pair_dest, offsets,
-                 counts)
+    return out, (rows.shape[0], pair_gauss, pair_pos, offsets, counts)
 
 
 def _gather_bwd(chunk_size, res, bar):
-    n_rows, pair_gauss, pair_sorted, pair_dest, offsets, counts = res
+    n_rows, pair_gauss, pair_pos, offsets, counts = res
     num_chunks, g, c = bar.shape
-    capacity = pair_sorted.shape[0]
-    # invert the sort permutation lazily: pre-sort pair p -> padded slot
-    _, pair_pos = jax.lax.sort_key_val(pair_sorted, pair_dest)
+    p_pad = num_chunks * g
+    capacity = pair_pos.shape[0]
 
-    bar_flat = bar.reshape(num_chunks * g, c)
-    # one trailing zero row: dropped pairs carry pair_pos == P_pad
-    bar_flat = jnp.concatenate([bar_flat, jnp.zeros((1, c), bar.dtype)])
-    bar_pre = bar_flat[pair_pos]                        # (capacity, C)
+    bar_flat = bar.reshape(p_pad, c)
+    # dropped pairs carry pair_pos == P_pad: clamp + mask instead of
+    # appending a zero row — the concat was a full-array copy (470 MB at
+    # bench scale, measured in the r3 reduce sub-profile)
+    live = (pair_pos < p_pad)[:, None]
+    bar_pre = jnp.where(live, bar_flat[jnp.minimum(pair_pos, p_pad - 1)],
+                        0.0)                            # (capacity, C)
 
     cum = blocked_cumsum(bar_pre)
-    cum0 = jnp.concatenate([jnp.zeros((1, c), cum.dtype), cum])
+    # segment sum via cum[hi-1] - cum[lo-1] with clamped indices and
+    # zero-masks — again no prepended zero-row copy
     lo = jnp.clip(offsets, 0, capacity)
     hi = jnp.clip(offsets + counts, 0, capacity)
-    grad_rows = cum0[hi] - cum0[lo]                     # (N, C)
+    g_hi = jnp.where((hi > 0)[:, None],
+                     cum[jnp.maximum(hi - 1, 0)], 0.0)
+    g_lo = jnp.where((lo > 0)[:, None],
+                     cum[jnp.maximum(lo - 1, 0)], 0.0)
+    grad_rows = g_hi - g_lo                             # (N, C)
     grad_rows = jnp.concatenate(
         [grad_rows, jnp.zeros((n_rows - grad_rows.shape[0], c),
                               grad_rows.dtype)])        # dummy row(s)
 
     int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return (grad_rows, int_zero(pair_gauss), int_zero(pair_sorted),
-            int_zero(pair_dest), int_zero(offsets), int_zero(counts))
+    return (grad_rows, int_zero(pair_gauss), int_zero(pair_pos),
+            int_zero(offsets), int_zero(counts))
 
 
 chunked_gather.defvjp(_gather_fwd, _gather_bwd)

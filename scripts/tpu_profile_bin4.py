@@ -71,8 +71,8 @@ def staged_bin(act, stage):
     exp_tab = jnp.stack(
         [tx0.astype(f32), ty0.astype(f32), rect_w.astype(f32),
          off_hi, off_lo, depth_q.astype(f32),
-         cs[:, 0], cs[:, 1], cs[:, 2]], axis=1)
-    exp_tab = jnp.concatenate([exp_tab, vmat.reshape(-1, 9)], axis=1)
+         cs[0], cs[1], cs[2]], axis=1)
+    exp_tab = jnp.concatenate([exp_tab, jnp.stack(vmat, axis=1)], axis=1)
     exp = exp_tab[pair_g]
     e_tx0 = exp[:, 0].astype(jnp.int32)
     e_ty0 = exp[:, 1].astype(jnp.int32)
@@ -146,7 +146,9 @@ def staged_bin(act, stage):
     rows64 = jnp.concatenate(
         [geom_rows, sh_all[..., 0], sh_all[..., 1], sh_all[..., 2]], axis=1)
     rows64 = jax.lax.optimization_barrier(rows64)
-    chunks64 = chunked_gather(g, rows64, pair_gauss, p_sorted, dest_drop,
+    pair_pos = jnp.full((capacity,), capacity_padded, jnp.int32)
+    pair_pos = pair_pos.at[p_sorted].set(dest_drop, mode="drop")
+    chunks64 = chunked_gather(g, rows64, pair_gauss, pair_pos,
                               offsets, counts)
     return chunks64[:, :, 0].sum()
 

@@ -106,7 +106,7 @@ if "topo" in stages:
     run_topo = chain(topo_body)
     timeit("topology", lambda: run_topo(0.0))
 
-if stages & {"gather", "fwd", "bwd", "reduce"}:
+if stages & {"gather", "fwd", "bwd", "reduce", "reduce_sub"}:
     chunks = jax.jit(lambda a: gather_chunks(a, topo, cfg))(act)
     sync(chunks)
 
@@ -166,7 +166,7 @@ if "bwd" in stages:
 
 if "reduce" in stages:
     from gvrt_tpu.render.param_grads import _gather_bwd
-    res = (N + 1, topo.pair_gauss, topo.pair_sorted, topo.pair_dest,
+    res = (N + 1, topo.pair_gauss, topo.pair_pos,
            topo.gauss_offsets, topo.gauss_counts)
     bar = jnp.ones_like(chunks)
 
@@ -180,7 +180,7 @@ if "reduce_sub" in stages:
     from gvrt_tpu.render.param_grads import blocked_cumsum
     bar = jnp.ones_like(chunks)
     bar_flat0 = bar.reshape(-1, bar.shape[2])
-    _, pair_pos0 = jax.lax.sort_key_val(topo.pair_sorted, topo.pair_dest)
+    pair_pos0 = topo.pair_pos
     sync(pair_pos0)
     bar_pre0 = jax.jit(
         lambda bf, pp: jnp.concatenate(
@@ -190,10 +190,6 @@ if "reduce_sub" in stages:
     cum_c = jax.jit(blocked_cumsum)(bar_pre0)
     sync(cum_c)
 
-    run_s = chain(lambda eps, ps, pd: jax.lax.sort_key_val(
-        ps, pd + eps.astype(jnp.int32))[1][0].astype(jnp.float32))
-    timeit("reduce: sort-invert", lambda: run_s(
-        0.0, topo.pair_sorted, topo.pair_dest))
     run_g = chain(lambda eps, bf, pp: jnp.concatenate(
         [bf + eps, jnp.zeros((1, bf.shape[1]), bf.dtype)])[pp][0, 0])
     timeit("reduce: row gather", lambda: run_g(0.0, bar_flat0, pair_pos0))

@@ -96,7 +96,7 @@ if "bwd" in stages:
 if "reduce" in stages:
     from gvrt_tpu.render.param_grads import _gather_bwd
     bar = jnp.ones_like(binned.chunks)
-    res = (N + 1, binned.pair_gauss, binned.pair_sorted, binned.pair_dest,
+    res = (N + 1, binned.pair_gauss, binned.pair_pos,
            binned.gauss_offsets, binned.gauss_counts)
     red_jit = jax.jit(lambda bar: _gather_bwd(cfg.chunk_size, res, bar))
     _, dt_red = timeit("param-grad reduce", lambda: red_jit(bar))
