@@ -34,9 +34,9 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig, DEFAULT_CONFIG
 from ..models.gaussians import GaussianModel
-from .binning import (band_rays, bin_topology, binned_scene,
-                      gather_from_rows, param_rows, plan_capacity,
-                      unband_image, untile)
+from .binning import (band_rays, bin_topology_from_table, binned_scene,
+                      frame_cull_table, gather_from_rows, param_rows,
+                      plan_capacity_from_table, unband_image, untile)
 from .pallas_forward import forward_dispatch
 from .tiled import _camera_mats, _resolve_impl
 
@@ -59,13 +59,21 @@ def resolve_bands(height: int, requested: int,
 def plan_capacity_banded(model: GaussianModel, camera, n_bands: int,
                          cfg: RenderConfig = DEFAULT_CONFIG,
                          slack: float = 1.3):
-    """Static (capacity, capacity_padded) = max over the bands' plans."""
+    """Static (capacity, capacity_padded) = max over the bands' plans.
+
+    The device frame table is computed ONCE; each band's plan is pure host
+    NumPy on it (was one full device pass per band — 17x slower at 5M)."""
+    import numpy as np
     act = model.activate()
     w2c, proj = _camera_mats(camera)
+    tab = jax.tree.map(np.asarray, frame_cull_table(
+        act, jnp.asarray(w2c), jnp.asarray(proj), camera.width,
+        camera.height, cfg))
     cap = cap_pad = 0
     for off in range(n_bands):
-        c, cp = plan_capacity(act, w2c, proj, camera.width, camera.height,
-                              cfg, slack=slack, band=(off, n_bands))
+        c, cp = plan_capacity_from_table(tab, proj, camera.width,
+                                         camera.height, cfg, slack=slack,
+                                         band=(off, n_bands))
         cap, cap_pad = max(cap, c), max(cap_pad, cp)
     return cap, cap_pad
 
@@ -76,16 +84,19 @@ def _render_banded(act, w2c, proj, rays_bands, width, height, n_bands, cfg,
                    cap, cap_pad, impl):
     offsets = jnp.arange(n_bands, dtype=jnp.int32)
     lh = height // n_bands
-    # the (N+1, 64) parameter table is band-independent: build it ONCE per
-    # frame here instead of rematerializing it inside every band's
-    # checkpointed body (at 5M gaussians the per-band rebuild's temps were
-    # the OOM, SCALE_r03.md)
+    # both frame-level tables are band-independent: build them ONCE per
+    # frame instead of rematerializing inside every band's checkpointed
+    # body.  rows64 is the only gaussian-count-sized 2D array alive across
+    # the scan; the cull table is all-1D (FrameCullTable) — at 5M gaussians
+    # the per-band rebuilds' (N, C) temps were a 27 GB compile (SCALE_r03.md)
     rows64 = param_rows(act, cfg)
+    tab = frame_cull_table(act, w2c, proj, width, height, cfg)
 
     def body(overflow, inp):
         rays_b, off = inp
-        topo = bin_topology(act, w2c, proj, width, height, cfg, cap,
-                            cap_pad, row_offset=off, row_stride=n_bands)
+        topo = bin_topology_from_table(tab, proj, width, height, cfg, cap,
+                                       cap_pad, row_offset=off,
+                                       row_stride=n_bands)
         binned = binned_scene(gather_from_rows(rows64, topo, cfg), topo)
         acc = forward_dispatch(binned, rays_b, cfg, impl)
         img = untile(acc, width, lh, cfg.tile_size)
