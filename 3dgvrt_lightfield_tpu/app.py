@@ -182,8 +182,11 @@ def cmd_lightfield(args):
     from .models.lightfield import (LightFieldConfig, compute_light_field,
                                     save_light_field)
     model = _load_model(args)
+    # largest tile size <= 20 that divides the image (180 -> 20, 96 -> 16...)
+    tile = next(t for t in (20, 16, 12, 10, 8, 6, 5, 4, 2, 1)
+                if args.size % t == 0)
     lf = LightFieldConfig(num_cameras=args.cameras, width=args.size,
-                          height=args.size)
+                          height=args.size, tile_size=tile)
     res = compute_light_field(model, lf, impl=args.impl)
     paths = save_light_field(args.out, res)
     print("\n".join(paths))
