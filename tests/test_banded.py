@@ -82,3 +82,18 @@ def test_banded_pallas_interpret_matches_scan():
     b = render_image_banded(model, cam, 2, CFG, impl="scan")
     np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
                                atol=1e-5)
+
+
+def test_resolve_bands_divides_rows():
+    """resolve_bands picks the largest band count <= requested dividing the
+    tile-row count (1080p-class heights just work: 1088 px / 16 = 68 rows)."""
+    from gvrt_tpu.render.banded import resolve_bands
+    cfg16 = g3.DEFAULT_CONFIG
+    assert resolve_bands(1088, 8, cfg16) == 4
+    assert resolve_bands(1088, 17, cfg16) == 17
+    assert resolve_bands(1088, 100, cfg16) == 68
+    assert resolve_bands(256, 8, cfg16) == 8
+    assert resolve_bands(16, 5, cfg16) == 1  # 1 row: only 1 divides
+    for h, req in ((1088, 8), (800, 7), (720, 6)):
+        b = resolve_bands(h, req, cfg16)
+        assert 1 <= b <= max(req, 1) and (h // 16) % b == 0
