@@ -11,17 +11,15 @@ shim ``import gvrt_tpu`` or ``importlib.import_module("3dgvrt_lightfield_tpu")``
 Submodules are imported eagerly so attribute access works either way.
 """
 
-import jax as _jax
-
-# TPU matmul default is bfloat16 inputs, which quantizes ray directions,
-# camera-space depths (binning sort order), SH radiance, and the gradient
-# prefix-sum reduction (blocked_cumsum) — measured on v5e as depth-order
-# inversions of ~3e-3 and 97%-mismatched cumsums vs f32 (on-chip suite,
-# round 3).  Every matmul in this framework contracts over tiny dims (3 or
-# 16) or feeds gradient accumulation, so full-f32 MXU passes are the correct
-# default; nothing here is throughput-bound on the MXU (the fused kernel is
-# VPU-bound, PROFILE.md section 3).
-_jax.config.update("jax_default_matmul_precision", "highest")
+# NOTE on matmul precision: TPU matmul default is bfloat16 inputs, which
+# quantizes camera-space depths (binning sort order), SH radiance, and the
+# gradient reductions — measured on v5e as depth-order inversions of ~3e-3
+# and 97%-mismatched cumsums vs f32 (on-chip suite, round 3).  Every
+# device-side matmul in this package therefore passes an EXPLICIT
+# `precision=` (HIGHEST everywhere except the opted-out SH radiance dots,
+# tile_math._SH_PRECISION), instead of mutating the process-global
+# `jax_default_matmul_precision` at import time — the r2 advisor flagged
+# the global as silently overriding embedding applications' settings.
 
 from . import config
 from .config import RenderConfig, DEFAULT_CONFIG

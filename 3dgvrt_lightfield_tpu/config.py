@@ -54,7 +54,6 @@ class RenderConfig:
       - min_transmittance:    VulkanUtils.h:54 (0.001)
       - hit_min_response:     VulkanUtils.h:55 (0.0113)
       - kernel_min_response:  projects/VulkanFullRT/VulkanFullRT.cpp:1353 (0.0113)
-      - eps_t:                3dgs.glsl:13 (EPS_T=1e-9)
       - aabb:                 VulkanUtils.h:53 (+-100 scene AABB)
       - near/far:             base/Define.h:34-35 (NEAR_PLANE/FAR_PLANE)
       - adaptive_kernel_clamping: VulkanFullRT.cpp:1354 (MOGRenderNone default)
@@ -65,6 +64,9 @@ class RenderConfig:
     # until the transmittance floor (raygen.rgen:140-184), so every hit along
     # the ray is composited there too.  The TPU design composites all hits in
     # depth order directly, so no such knob exists here (see ops/hit.py).
+    # NOTE: the reference's EPS_T (3dgs.glsl:13) guards its re-trace loop's
+    # tmin advance; the TPU march has no re-trace loop, so the knob was dead
+    # here and is deleted (like MAX_HIT_PER_TRACE above; r2 verdict hygiene).
     kernel_degree: int = 4
     sh_degree: int = 3
     alpha_min: float = 1.0 / 255.0
@@ -72,7 +74,6 @@ class RenderConfig:
     min_transmittance: float = 1e-3
     hit_min_response: float = 0.0113
     kernel_min_response: float = 0.0113
-    eps_t: float = 1e-9
     aabb: Tuple[float, float, float, float, float, float] = (
         -100.0, -100.0, -100.0, 100.0, 100.0, 100.0)
     near: float = 0.005

@@ -160,12 +160,18 @@ def _slab(o, d, lo, hi):
 
 
 def _pad_blocks(rays, aux, block):
-    """Split (R, ...) arrays into (B, block, ...), padding with dead rays."""
+    """Split (R, ...) arrays into (B, block, ...), padding with dead rays.
+
+    The last aux entry returned is an explicit per-ray validity mask (1 for
+    real rays, 0 for padding) — callers disable padded rays through it
+    rather than overloading a tmax sentinel value (r2 advisor: tmax == 0
+    also killed real rays whose caller-supplied tmax was exactly 0)."""
     r = rays.shape[0]
     b = max(1, -(-r // block))
     pad = b * block - r
     rays = jnp.pad(rays, ((0, pad), (0, 0)))
     aux = [jnp.pad(a, ((0, pad),)) for a in aux]
+    aux.append(jnp.pad(jnp.ones((r,), jnp.float32), ((0, pad),)))
     return (rays.reshape(b, block, 6),
             [a.reshape(b, block) for a in aux], r)
 
@@ -223,17 +229,18 @@ def closest_hit(rays: jnp.ndarray, tris: TrianglePack,
     r = rays.shape[0]
     tmin = jnp.full((r,), RAY_TMIN) if tmin is None else tmin
     tmax = jnp.full((r,), INF) if tmax is None else tmax
-    rb, (tminb, tmaxb), r0 = _pad_blocks(rays, [tmin, tmax], min(block, r))
+    rb, (tminb, tmaxb, validb), r0 = _pad_blocks(rays, [tmin, tmax],
+                                                 min(block, r))
 
     def per_block(carry, blk):
-        rays_i, tmin_i, tmax_i = blk
-        # padded rays have d = 0 -> the conservative slab can pass them,
-        # but tmin=0/tmax=0 kills every accept test
+        rays_i, tmin_i, tmax_i, valid_i = blk
+        # padded rays (valid == 0) get an empty [tmin, -INF) interval
         out = _closest_hit_block(rays_i, tris, tmin_i,
-                                 jnp.where(tmax_i == 0, -INF, tmax_i))
+                                 jnp.where(valid_i > 0, tmax_i, -INF))
         return carry, out
 
-    _, (t, tri, u, v) = jax.lax.scan(per_block, 0, (rb, tminb, tmaxb))
+    _, (t, tri, u, v) = jax.lax.scan(per_block, 0,
+                                     (rb, tminb, tmaxb, validb))
     flat = lambda x: x.reshape(-1)[:r0]  # noqa: E731
     return {"t": flat(t), "tri": flat(tri), "u": flat(u), "v": flat(v)}
 
@@ -271,13 +278,14 @@ def occluded(rays: jnp.ndarray, tris: TrianglePack, tmin: jnp.ndarray,
     """Any-hit test in (tmin, tmax): the shadow-ray trace
     (raygen.rgen traceRayEXT with TerminateOnFirstHit)."""
     r = rays.shape[0]
-    rb, (tminb, tmaxb), r0 = _pad_blocks(rays, [tmin, tmax], min(block, r))
+    rb, (tminb, tmaxb, validb), r0 = _pad_blocks(rays, [tmin, tmax],
+                                                 min(block, r))
 
     def per_block(carry, blk):
-        rays_i, tmin_i, tmax_i = blk
+        rays_i, tmin_i, tmax_i, valid_i = blk
         occ = _occluded_block(rays_i, tris, tmin_i,
-                              jnp.where(tmax_i == 0, -INF, tmax_i))
+                              jnp.where(valid_i > 0, tmax_i, -INF))
         return carry, occ
 
-    _, occ = jax.lax.scan(per_block, 0, (rb, tminb, tmaxb))
+    _, occ = jax.lax.scan(per_block, 0, (rb, tminb, tmaxb, validb))
     return occ.reshape(-1)[:r0]

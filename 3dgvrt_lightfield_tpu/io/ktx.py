@@ -99,7 +99,11 @@ def _read_ktx1(buf: bytes):
     # mip 0 only (the renderer builds no mip chain; faces are sampled raw)
     (image_size,) = struct.unpack_from(endian + "I", buf, off)
     off += 4
-    face_bytes = width * height * ch * dtype.itemsize
+    # KTX1 stores rows at GL_UNPACK_ALIGNMENT=4: each row is padded to a
+    # 4-byte pitch (matters for RGB8 with w*3 % 4 != 0; r2 advisor finding)
+    row_bytes = width * ch * dtype.itemsize
+    row_pitch = row_bytes + (-row_bytes) % 4
+    face_bytes = row_pitch * height
     # KTX1 quirk: for cubemaps imageSize is the size of ONE face
     expected = face_bytes if n_faces == 6 and n_array == 1 \
         else face_bytes * n_array * n_faces
@@ -109,7 +113,9 @@ def _read_ktx1(buf: bytes):
     faces = []
     for _layer in range(n_array):
         for _face in range(n_faces):
-            arr = np.frombuffer(buf, dtype, width * height * ch, off)
+            rows = np.frombuffer(buf, np.uint8, face_bytes, off)
+            rows = rows.reshape(height, row_pitch)[:, :row_bytes]
+            arr = np.ascontiguousarray(rows).view(dtype)
             faces.append(arr.reshape(height, width, ch))
             off += face_bytes + (-face_bytes) % 4  # cubePadding
     img = np.stack(faces) if len(faces) > 1 else faces[0]
@@ -194,10 +200,13 @@ def save_ktx1(path: str, img: np.ndarray, srgb: bool = False,
         internal = {3: 0x8815, 4: _GL_RGBA32F}[ch]  # RGB32F / RGBA32F
         faces = faces.astype(np.float32)
     gl_format = {3: _GL_RGB, 4: _GL_RGBA}[ch]
-    face_bytes = w * h * ch * dtype.itemsize
+    # rows padded to GL_UNPACK_ALIGNMENT=4 pitch, per spec (r2 advisor)
+    row_bytes = w * ch * dtype.itemsize
+    row_pad = (-row_bytes) % 4
+    face_bytes = (row_bytes + row_pad) * h
     n_faces = 6 if cubemap else 1
-    # per spec, cubemap imageSize is the size of one (unpadded) face
-    image_size = face_bytes if cubemap else face_bytes
+    # per spec, cubemap imageSize is the size of one face
+    image_size = face_bytes
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
@@ -207,6 +216,11 @@ def save_ktx1(path: str, img: np.ndarray, srgb: bool = False,
             internal, gl_format, w, h, 0, 0, n_faces, 1, 0))
         f.write(struct.pack("<I", image_size))
         for face in faces:
-            raw = np.ascontiguousarray(face, dtype).tobytes()
-            f.write(raw)
-            f.write(b"\0" * ((-len(raw)) % 4))  # cubePadding
+            raw = np.ascontiguousarray(face, dtype)
+            if row_pad:  # only reachable for uint8 RGB (f32 rows align)
+                padded = np.zeros((h, row_bytes + row_pad), np.uint8)
+                padded[:, :row_bytes] = raw.view(np.uint8).reshape(
+                    h, row_bytes)
+                raw = padded
+            f.write(raw.tobytes())
+            # face_bytes is already 4-byte aligned via the row pitch

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .kernels import particle_response
@@ -55,9 +56,11 @@ def ray_gaussian_hit(ray_o, ray_d, mean, inv_scale, rot_t, density, *,
     Math provenance: gaussianfunctions.glsl:186-206.
     """
     gposc = ray_o - mean
-    gposcr = jnp.einsum("...ij,...j->...i", rot_t, gposc)
+    gposcr = jnp.einsum("...ij,...j->...i", rot_t, gposc,
+                        precision=jax.lax.Precision.HIGHEST)
     gro = inv_scale * gposcr
-    ray_d_r = jnp.einsum("...ij,...j->...i", rot_t, ray_d)
+    ray_d_r = jnp.einsum("...ij,...j->...i", rot_t, ray_d,
+                         precision=jax.lax.Precision.HIGHEST)
     grdu = inv_scale * ray_d_r
     grd = safe_normalize(grdu)
 

@@ -7,6 +7,7 @@ optional clamp at 0, exactly like the reference.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import SH_C0, SH_C1, SH_C2, SH_C3
@@ -81,7 +82,8 @@ def radiance_from_sh(coeffs: jnp.ndarray,
     """
     num = (degree + 1) ** 2
     basis = sh_basis(direction, degree)  # (..., num)
-    rad = jnp.einsum("...k,...kc->...c", basis, coeffs[..., :num, :]) + 0.5
+    rad = jnp.einsum("...k,...kc->...c", basis, coeffs[..., :num, :],
+                     precision=jax.lax.Precision.HIGHEST) + 0.5
     if clamped:
         rad = jnp.maximum(rad, 0.0)
     return rad

@@ -56,6 +56,22 @@ def resolve_bands(height: int, requested: int,
     return 1
 
 
+def resolve_bands_common(heights, requested: int,
+                         cfg: RenderConfig = DEFAULT_CONFIG) -> int:
+    """Largest band count <= `requested` dividing EVERY camera's tile-row
+    count.  Pose files may carry heights different from the CLI --height;
+    resolving from one height and asserting on another was the r2 advisor's
+    app.py finding — resolve from the actual cameras instead."""
+    import math as _math
+    g = 0
+    for h in heights:
+        g = _math.gcd(g, h // cfg.tile_size)
+    for b in range(min(requested, g), 0, -1):
+        if g % b == 0:
+            return b
+    return 1
+
+
 def plan_capacity_banded(model: GaussianModel, camera, n_bands: int,
                          cfg: RenderConfig = DEFAULT_CONFIG,
                          slack: float = 1.3):

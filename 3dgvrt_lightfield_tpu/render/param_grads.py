@@ -40,7 +40,8 @@ def blocked_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
     # (TPU_TESTS_r03.md).  Costs ~2-3 ms per backward at bench scale;
     # gradient exactness is the contract here.
     incl = jnp.einsum("ij,bjc->bic", tri, xb,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     totals = xb.sum(axis=1)                             # (B, C)
     off = jnp.cumsum(totals, axis=0) - totals
     return (incl + off[:, None, :]).reshape(-1, c)[:p]

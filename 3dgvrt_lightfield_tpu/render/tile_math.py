@@ -86,7 +86,8 @@ def _exclusive_cumsum_g(la: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
         gi = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
         gj = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
         l_strict = (gj < gi).astype(la.dtype)
-        return jnp.dot(l_strict, la, preferred_element_type=la.dtype)
+        return jnp.dot(l_strict, la, preferred_element_type=la.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     # Hillis-Steele over sublanes: log2(G) shifted adds.  Hand-rolled with
     # concat+static-slice because lax.cumsum has no Mosaic TPU lowering.
     g, r = la.shape

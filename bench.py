@@ -25,12 +25,15 @@ Measurement notes (see PROFILE.md):
     ASSERTS measured mean hits/ray >= 15 (real 3DGS assets at 1080p; the
     reference ships a hit-count dump, VulkanFullRT.cpp:2180-2195, precisely
     because overdraw dominates).
-  * vs_baseline is measured rays/s / ROOFLINE_RAYS_PER_S, the speed-of-light
-    estimate for this scene derived in PROFILE.md section 4 from measured
-    v5e VPU / HBM rates and the kernel's per-pair op counts, evaluated for
-    THIS protocol (per-step gather + kernel fwd/bwd + reduction + topology/K)
-    at the planned capacities.  BASELINE.md asks for >= 0.8.  Override the
-    denominator with GVRT_ROOFLINE to pin a fixed baseline across runs.
+  * vs_baseline divides by FROZEN_ROOFLINE_RAYS_PER_S — the speed-of-light
+    model of PROFILE.md section 4 evaluated ONCE for the round-2 bench scene
+    (capacities 1,836,736 / 1,836,736, K=10) and then FROZEN at 21.0 Mrays/s,
+    so the bar is fixed across rounds: algorithm changes move the numerator
+    only.  (Earlier rounds re-derived the denominator from the current
+    plan each run, which certified "measured ~= model of itself"; flagged by
+    the r2 advisor+judge.)  The live re-derived model is still logged
+    separately for profile bookkeeping.  BASELINE.md asks for >= 0.8.
+    GVRT_ROOFLINE overrides the frozen denominator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -53,6 +56,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SCALE_RANGE = (-6.1, -4.4)
 OPACITY_RANGE = (-3.5, 0.5)
 SCENE_VERSION = 4
+
+#: FROZEN vs_baseline denominator (rays/s): the section-4 roofline model
+#: evaluated for the round-2 bench plan (cap = cap_pad = 1,836,736, R = 256,
+#: K = 10 at 1920x1088) and pinned there.  Do NOT re-derive per run — a bar
+#: that moves with the algorithm certifies nothing (r2 verdict item 2).
+FROZEN_ROOFLINE_RAYS_PER_S = 21.0e6
 
 
 def roofline_rays_per_s(width, height, cap, cap_pad, rays_per_tile, chain_k):
@@ -246,10 +255,15 @@ def main():
         f"({width * height / best_f / 1e6:.1f} Mrays/s) "
         f"[bin-once replay; reference fps protocol: base/benchmark.hpp:37-104]")
 
-    roofline = float(os.environ.get("GVRT_ROOFLINE", 0)) or roofline_rays_per_s(
+    derived = roofline_rays_per_s(
         width, height, *renderer.capacity, cfg.tile_size * cfg.tile_size, k)
-    log(f"bench: derived roofline {roofline / 1e6:.1f} Mrays/s "
-        f"(fwd+bwd, this scene+protocol; PROFILE.md section 4)")
+    log(f"bench: re-derived roofline {derived / 1e6:.1f} Mrays/s "
+        f"(informational; PROFILE.md section 4)")
+    roofline = float(os.environ.get("GVRT_ROOFLINE", 0)) \
+        or FROZEN_ROOFLINE_RAYS_PER_S
+    log(f"bench: vs_baseline denominator {roofline / 1e6:.1f} Mrays/s "
+        f"(FROZEN round-2 model; absolute fwd+bwd = "
+        f"{rays_per_s / 1e6:.2f} Mrays/s)")
     print(json.dumps({
         "metric": "rays_per_sec_fwd_bwd_1080p_1chip",
         "value": rays_per_s,

@@ -97,3 +97,19 @@ def test_resolve_bands_divides_rows():
     for h, req in ((1088, 8), (800, 7), (720, 6)):
         b = resolve_bands(h, req, cfg16)
         assert 1 <= b <= max(req, 1) and (h // 16) % b == 0
+
+
+def test_resolve_bands_common_mixed_heights():
+    """Band count resolved over MIXED camera heights divides every camera's
+    tile-row count (r2 advisor: resolving from --height alone tripped the
+    per-camera assert for pose files with different heights)."""
+    from gvrt_tpu.render.banded import resolve_bands_common
+    cfg16 = g3.DEFAULT_CONFIG
+    # 1088 -> 68 rows, 800 -> 50 rows: gcd 2
+    assert resolve_bands_common([1088, 800], 8, cfg16) == 2
+    assert resolve_bands_common([1088], 8, cfg16) == 4
+    assert resolve_bands_common([256, 512], 8, cfg16) == 8
+    for heights in ([1088, 800], [720, 480], [256, 192]):
+        b = resolve_bands_common(heights, 8, cfg16)
+        for h in heights:
+            assert (h // 16) % b == 0

@@ -127,6 +127,20 @@ def test_ktx1_uint8_srgb_2d(tmp_path):
     np.testing.assert_allclose(back, lin, atol=1e-6)
 
 
+def test_ktx1_rgb8_odd_width_row_padding(tmp_path):
+    """RGB8 with w*3 % 4 != 0 exercises the GL_UNPACK_ALIGNMENT=4 row pitch
+    (r2 advisor finding: tightly-packed rows misparse such payloads)."""
+    from gvrt_tpu.io.ktx import load_ktx, save_ktx1
+    img = (np.arange(5 * 5 * 3, dtype=np.uint8).reshape(5, 5, 3) * 3) % 251
+    assert (5 * 3) % 4 != 0
+    p = tmp_path / "odd.ktx"
+    save_ktx1(str(p), img)
+    back = load_ktx(str(p))
+    assert back.shape == (5, 5, 3)
+    np.testing.assert_allclose(back, img.astype(np.float32) / 255.0,
+                               atol=1e-6)
+
+
 def test_ktx2_uncompressed(tmp_path):
     """Hand-assembled minimal KTX2 (VK_FORMAT_R8G8B8A8_UNORM, no
     supercompression) parses; supercompressed files are rejected."""
