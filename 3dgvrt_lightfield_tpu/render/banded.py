@@ -127,6 +127,91 @@ def _render_banded(act, w2c, proj, rays_bands, width, height, n_bands, cfg,
     return img, overflow
 
 
+@partial(jax.jit, static_argnames=("width", "height", "cfg", "impl"))
+def _render_banded_bound(act, topos, rays_bands, width, height, cfg, impl):
+    """Render against HELD per-band topologies (leading axis = band).
+
+    The banded analog of tiled._render_from_topology: per-frame work is one
+    rows64 build + per band a parameter gather + the fused kernel — the
+    whole binning pass (the dominant cost at 5M gaussians, SCALE_r03.md) is
+    skipped.  Gradients are exact for this forward; culling/depth order is
+    as stale as the topologies (refresh on the caller's K-step cadence —
+    the reference's AS-build-once shape, SplitBLAS.cpp:706-752 rebuilds
+    cells only on demand)."""
+    n_bands, _, _, _ = rays_bands.shape
+    lh = height // n_bands
+    rows64 = param_rows(act, cfg)
+
+    def body(overflow, inp):
+        rays_b, topo = inp
+        binned = binned_scene(gather_from_rows(rows64, topo, cfg), topo)
+        acc = forward_dispatch(binned, rays_b, cfg, impl)
+        img = untile(acc, width, lh, cfg.tile_size)
+        return overflow + binned.overflow, img
+
+    overflow, bands = jax.lax.scan(jax.checkpoint(body),
+                                   jnp.zeros((), jnp.int32),
+                                   (rays_bands, topos))
+    img = unband_image(bands, width, height, cfg.tile_size)
+    return img, overflow
+
+
+class BandedRenderer:
+    """Bounded-memory banded pipeline with bind-once topology reuse.
+
+    The banded counterpart of TiledRenderer: `plan` picks static per-band
+    capacities, `bind` builds and holds every band's pair-list topology
+    (refresh on the caller's cadence), `render_bound` renders frames
+    against them — per-frame work is parameter gather + kernel only.
+    """
+
+    def __init__(self, width: int, height: int, n_bands: int,
+                 cfg: RenderConfig = DEFAULT_CONFIG,
+                 capacity: Optional[tuple] = None, impl: str = "auto"):
+        assert (height // cfg.tile_size) % n_bands == 0, (height, n_bands)
+        self.width, self.height, self.n_bands = width, height, n_bands
+        self.cfg, self.capacity = cfg, capacity
+        self.impl = _resolve_impl(impl)
+        self._bound = None      # (topos, rays_bands)
+
+    def plan(self, model: GaussianModel, camera, slack: float = 1.3):
+        self.capacity = plan_capacity_banded(model, camera, self.n_bands,
+                                             self.cfg, slack=slack)
+        return self.capacity
+
+    def bind(self, model: GaussianModel, camera):
+        """Build + hold all bands' topologies for this (model, camera)."""
+        if self.capacity is None:
+            self.plan(model, camera)
+        cap, cap_pad = self.capacity
+        act = model.activate()
+        w2c, proj = _camera_mats(camera)
+        tab = frame_cull_table(act, jnp.asarray(w2c), jnp.asarray(proj),
+                               self.width, self.height, self.cfg)
+        topos = [bin_topology_from_table(tab, proj, self.width, self.height,
+                                         self.cfg, cap, cap_pad,
+                                         row_offset=off,
+                                         row_stride=self.n_bands)
+                 for off in range(self.n_bands)]
+        topos = jax.tree.map(lambda *xs: jnp.stack(xs), *topos)
+        self._bound = (topos, band_rays(camera, self.cfg, self.n_bands))
+        return topos
+
+    def render_bound(self, model: GaussianModel):
+        assert self._bound is not None, "call bind(model, camera) first"
+        topos, rays_bands = self._bound
+        img, overflow = _render_banded_bound(
+            model.activate(), topos, rays_bands, self.width, self.height,
+            self.cfg, self.impl)
+        return {
+            "rgb": img[..., 0:3],
+            "depth": img[..., 3],
+            "transmittance": img[..., 4],
+            "hit_count": img[..., 5],
+            "overflow": overflow,
+        }
+
+
 def render_image_banded(model: GaussianModel, camera, n_bands: int,
                         cfg: RenderConfig = DEFAULT_CONFIG,
                         capacity: Optional[tuple] = None, impl: str = "auto"):

@@ -47,6 +47,7 @@ from ..ops.aabb import intersect_aabb
 from ..ops.kernels import kernel_scale
 from ..ops.sh import sh_basis_components
 from .param_grads import chunked_gather
+from .segreduce import ReducePlan, build_reduce_plan
 from .tile_math import RAY_ROWS
 
 
@@ -77,6 +78,8 @@ class BinTopology(NamedTuple):
                              #    (capacity_padded = culled/dropped)
     gauss_offsets: jnp.ndarray  # (N,) int32 pre-sort pair range start
     gauss_counts: jnp.ndarray   # (N,) int32 pre-sort pair range length
+    red: object              # segreduce.ReducePlan (grouped grad-reduce
+                             #    layout) or None above the at-scale gate
 
 
 class BinnedScene(NamedTuple):
@@ -93,6 +96,7 @@ class BinnedScene(NamedTuple):
                              #    (capacity_padded = culled/dropped)
     gauss_offsets: jnp.ndarray  # (N,) int32 pre-sort pair range start
     gauss_counts: jnp.ndarray   # (N,) int32 pre-sort pair range length
+    red: object              # segreduce.ReducePlan or None
 
 
 class FrameCullTable(NamedTuple):
@@ -439,6 +443,15 @@ def bin_topology_from_table(tab: FrameCullTable, proj: jnp.ndarray,
     pair_pos = jnp.full((capacity,), capacity_padded, jnp.int32)
     pair_pos = pair_pos.at[p_sorted].set(dest_drop, mode="drop")
 
+    # grouped gradient-reduction layout (segreduce.py): pure topology work,
+    # amortized over the K-step reuse window.  Gated off at scale: its
+    # static group padding is O(N) rows, which at 5M gaussians would more
+    # than double the backward permutation gather (the banded path keeps
+    # the XLA prefix fallback, param_grads._bwd_xla_prefix).
+    red = (build_reduce_plan(pair_g, pair_pos, offsets, counts, n,
+                             capacity, capacity_padded)
+           if n <= 1_500_000 else None)
+
     return BinTopology(
         chunk_tile=chunk_tile,
         chunk_first=chunk_first,
@@ -449,6 +462,7 @@ def bin_topology_from_table(tab: FrameCullTable, proj: jnp.ndarray,
         pair_pos=pair_pos,
         gauss_offsets=offsets,
         gauss_counts=counts,
+        red=red,
     )
 
 
@@ -518,7 +532,7 @@ def gather_from_rows(rows64: jnp.ndarray, topo: BinTopology,
     """(N+1, 64) table + topology -> (num_chunks, G, 64) kernel blocks."""
     return chunked_gather(cfg.chunk_size, rows64, topo.pair_gauss,
                           topo.pair_pos, topo.gauss_offsets,
-                          topo.gauss_counts)
+                          topo.gauss_counts, topo.red)
 
 
 def gather_chunks(act: ActivatedGaussians, topo: BinTopology,

@@ -3,19 +3,25 @@
 The transpose of the binning gather (`rows[pair_gauss]`) is a scatter-add of
 ~millions of 64-float rows into the per-Gaussian parameter table.  XLA lowers
 scatter-add on TPU to a serialized loop — measured ~0.8 s/frame at 1080p,
-dwarfing the render kernels.  This module replaces it with a closed-form
-segmented reduction that exploits how binning built the pair list:
+dwarfing the render kernels.  This module replaces it with a segmented
+reduction that exploits how binning built the pair list:
 
   * in PRE-SORT pair order, every Gaussian's pairs are contiguous
     (`offsets`/`counts` from the tile-rectangle expansion), so
-  * gathering the per-pair cotangents back into pre-sort order
-    (`pair_pos`: pre-sort pair -> padded chunk slot) turns the scatter into
-    contiguous segment sums, computed as differences of an inclusive prefix
-    sum — two gathers and a cumsum, no scatter anywhere.
+  * gathering the per-pair cotangents back into pre-sort order turns the
+    scatter into contiguous segment sums.
 
-The prefix sum itself is an MXU-blocked cumsum (lower-triangular matmul per
-block + tiny cross-block offset), not `lax.associative_scan`, to keep it one
-pass over HBM.
+Two segment-sum backends:
+
+  * **Pallas group-block kernel** (render/segreduce.py, the default): the
+    cotangents are gathered straight into the topology's grouped reduction
+    layout and summed per Gaussian with one 0/1-selection MXU matmul per
+    256-row block — a DIRECT sum, no prefix, no N-row boundary gathers.
+  * **XLA prefix fallback** (no ReducePlan in the topology — the >1.5M
+    at-scale gate, see binning.bin_topology_from_table): MXU-blocked
+    inclusive cumsum + segment differences.  Kept because the grouped
+    layout's static padding is O(N) rows, which at 5M Gaussians would more
+    than double the permutation gather.
 """
 
 from __future__ import annotations
@@ -26,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .segreduce import GROUP, segment_reduce
+
 
 def blocked_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
     """Inclusive prefix sum along axis 0 of (P, C) via per-block matmuls."""
@@ -34,11 +42,9 @@ def blocked_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     xb = xp.reshape(-1, block, c)                       # (B, block, C)
     tri = jnp.tril(jnp.ones((block, block), x.dtype))
-    # full-f32 MXU passes (the package default): prefix sums amplify input
-    # rounding with segment length — bf16_3x measured 1.4e-4 abs error on
-    # 1000-long prefixes (on-chip), 1-pass bf16 measured 97% mismatch
-    # (TPU_TESTS_r03.md).  Costs ~2-3 ms per backward at bench scale;
-    # gradient exactness is the contract here.
+    # full-f32 MXU passes: prefix sums amplify input rounding with segment
+    # length — bf16_3x measured 1.4e-4 abs error on 1000-long prefixes
+    # (on-chip), 1-pass bf16 measured 97% mismatch (TPU_TESTS_r03.md).
     incl = jnp.einsum("ij,bjc->bic", tri, xb,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
@@ -50,7 +56,8 @@ def blocked_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def chunked_gather(chunk_size: int, rows: jnp.ndarray, pair_gauss: jnp.ndarray,
                    pair_pos: jnp.ndarray,
-                   offsets: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
+                   offsets: jnp.ndarray, counts: jnp.ndarray,
+                   red=None) -> jnp.ndarray:
     """rows (N+1, C) -> (num_chunks, G, C) per-chunk parameter blocks.
 
     Forward is exactly `rows[pair_gauss]` reshaped for the kernel — the
@@ -59,7 +66,8 @@ def chunked_gather(chunk_size: int, rows: jnp.ndarray, pair_gauss: jnp.ndarray,
     `pair_gauss` maps padded slot -> row id (N = dummy); `pair_pos` maps
     PRE-SORT pair -> padded slot (P_pad = culled/dropped), computed once in
     bin_topology so no per-backward sort; `offsets`/`counts` give each
-    Gaussian's contiguous pre-sort pair range.
+    Gaussian's contiguous pre-sort pair range; `red` is the optional
+    grouped-layout ReducePlan (segreduce.py) selecting the Pallas backend.
     """
     return _gather_impl(chunk_size, rows, pair_gauss)
 
@@ -70,18 +78,17 @@ def _gather_impl(chunk_size, rows, pair_gauss):
     return rows[pair_gauss].reshape(p_pad // chunk_size, chunk_size, c)
 
 
-def _gather_fwd(chunk_size, rows, pair_gauss, pair_pos, offsets, counts):
+def _gather_fwd(chunk_size, rows, pair_gauss, pair_pos, offsets, counts,
+                red=None):
     out = _gather_impl(chunk_size, rows, pair_gauss)
-    return out, (rows.shape[0], pair_gauss, pair_pos, offsets, counts)
+    return out, (rows.shape[0], pair_gauss, pair_pos, offsets, counts, red)
 
 
-def _gather_bwd(chunk_size, res, bar):
-    n_rows, pair_gauss, pair_pos, offsets, counts = res
-    num_chunks, g, c = bar.shape
-    p_pad = num_chunks * g
+def _bwd_xla_prefix(n_rows, pair_pos, offsets, counts, bar_flat):
+    """Prefix-difference fallback (the at-scale path; pre-round-4 default)."""
+    p_pad = bar_flat.shape[0]
+    c = bar_flat.shape[1]
     capacity = pair_pos.shape[0]
-
-    bar_flat = bar.reshape(p_pad, c)
     # dropped pairs carry pair_pos == P_pad: clamp + mask instead of
     # appending a zero row — the concat was a full-array copy (470 MB at
     # bench scale, measured in the r3 reduce sub-profile)
@@ -99,13 +106,37 @@ def _gather_bwd(chunk_size, res, bar):
     g_lo = jnp.where((lo > 0)[:, None],
                      cum[jnp.maximum(lo - 1, 0)], 0.0)
     grad_rows = g_hi - g_lo                             # (N, C)
-    grad_rows = jnp.concatenate(
+    return jnp.concatenate(
         [grad_rows, jnp.zeros((n_rows - grad_rows.shape[0], c),
                               grad_rows.dtype)])        # dummy row(s)
 
+
+def _bwd_segreduce(n_rows, red, bar_flat):
+    """Grouped-layout Pallas direct segment sum (round-4 default)."""
+    p_pad = bar_flat.shape[0]
+    # dead rows (group padding, culled, dropped) have slot >= p_pad
+    bar_pre = jnp.where((red.slot < p_pad)[:, None],
+                        bar_flat[jnp.minimum(red.slot, p_pad - 1)], 0.0)
+    n_groups = -(-n_rows // GROUP)
+    interpret = jax.default_backend() != "tpu"
+    out = segment_reduce(bar_pre, red, n_groups, interpret=interpret)
+    return out[:n_rows]
+
+
+def _gather_bwd(chunk_size, res, bar):
+    n_rows, pair_gauss, pair_pos, offsets, counts, red = res
+    num_chunks, g, c = bar.shape
+    bar_flat = bar.reshape(num_chunks * g, c)
+    if red is None:
+        grad_rows = _bwd_xla_prefix(n_rows, pair_pos, offsets, counts,
+                                    bar_flat)
+    else:
+        grad_rows = _bwd_segreduce(n_rows, red, bar_flat)
+
     int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    red_zero = None if red is None else jax.tree.map(int_zero, red)
     return (grad_rows, int_zero(pair_gauss), int_zero(pair_pos),
-            int_zero(offsets), int_zero(counts))
+            int_zero(offsets), int_zero(counts), red_zero)
 
 
 chunked_gather.defvjp(_gather_fwd, _gather_bwd)

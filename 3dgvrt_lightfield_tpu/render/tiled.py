@@ -92,14 +92,22 @@ class TiledRenderer:
         self._ray_cache = {}
         self._bound = None  # (topology, rays) from bind()
 
-    def plan(self, model: GaussianModel, cameras: Sequence) -> tuple:
-        """Measure pair counts over representative cameras -> static capacity."""
+    def plan(self, model: GaussianModel, cameras: Sequence,
+             slack: float = 1.3) -> tuple:
+        """Measure pair counts over representative cameras -> static capacity.
+
+        `slack` multiplies the measured counts (headroom for camera/parameter
+        drift; overflow triggers an eager re-plan either way).  Static
+        scene+camera workloads (benchmarks, datasets planned over all their
+        cameras) can run ~1.05: every pipeline stage's cost is proportional
+        to the planned capacity, and 1.3 was measured as ~20% of the
+        round-3 frame time spent on slack slots."""
         act = model.activate()
         cap = cap_pad = 0
         for cam in cameras:
             w2c, proj = _camera_mats(cam)
             c, cp = plan_capacity(act, w2c, proj, self.width, self.height,
-                                  self.cfg)
+                                  self.cfg, slack=slack)
             cap, cap_pad = max(cap, c), max(cap_pad, cp)
         self.capacity = (cap, cap_pad)
         return self.capacity

@@ -42,6 +42,9 @@ class TrainConfig:
     l1_weight: float = 1.0
     l2_weight: float = 0.0
     scene_extent: float = 1.0
+    #: banded (n_bands > 1) training: rebuild the held per-band topologies
+    #: every N steps (the bench's K-step staleness contract)
+    refresh_every: int = 10
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -84,6 +87,13 @@ class Trainer:
         t = Trainer(width, height, cfg, tc, capacity, mesh=mesh)
         state = t.init(model)
         state, loss = t.step(state, camera_batch, targets)
+
+    Garden-scale scenes (BASELINE config[2]: ~5M gaussians at 1080p) train
+    through the banded bounded-memory pipeline instead: pass `n_bands > 1`
+    and call `step(state, camera, target)` with a Camera — the trainer
+    holds the per-band topologies and refreshes them every
+    `tc.refresh_every` steps (gradients stay exact per step; only culling /
+    depth order go stale, the same K-step contract as the flagship bench).
     """
 
     def __init__(self, width: int, height: int,
@@ -91,14 +101,27 @@ class Trainer:
                  tc: TrainConfig = TrainConfig(),
                  capacity: tuple = (0, 0),
                  mesh: Optional[Mesh] = None,
-                 impl: str = "auto", axis: str = "cam"):
+                 impl: str = "auto", axis: str = "cam",
+                 n_bands: int = 1):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "scan"
         self.width, self.height, self.cfg, self.tc = width, height, cfg, tc
         self.cap, self.cap_pad = capacity
         self.impl, self.mesh, self.axis = impl, mesh, axis
+        self.n_bands = n_bands
         self.optimizer = make_optimizer(tc)
-        self._step = self._build_step()
+        if n_bands > 1:
+            assert mesh is None, "banded training is single-chip (config[2])"
+            from ..render.banded import BandedRenderer
+            self._banded = BandedRenderer(
+                width, height, n_bands, cfg,
+                capacity=None if capacity == (0, 0) else capacity,
+                impl=impl)
+            self._bind_age = None
+            self._bind_key = None
+            self._step = self._build_banded_step()
+        else:
+            self._step = self._build_step()
 
     def init(self, model: GaussianModel):
         return (model, self.optimizer.init(model))
@@ -148,5 +171,42 @@ class Trainer:
 
         return jax.jit(step)
 
-    def step(self, state, cams: CameraBatch, targets):
+    def _build_banded_step(self):
+        width, height, cfg = self.width, self.height, self.cfg
+        impl, tc, optimizer = self.impl, self.tc, self.optimizer
+        from ..render.banded import _render_banded_bound
+
+        def step(state, topos, rays_bands, target):
+            model, opt_state = state
+
+            def loss_fn(m):
+                img, _ = _render_banded_bound(m.activate(), topos,
+                                              rays_bands, width, height,
+                                              cfg, impl)
+                rgb = img[..., 0:3]
+                l1 = jnp.mean(jnp.abs(rgb - target))
+                l2 = jnp.mean((rgb - target) ** 2)
+                return tc.l1_weight * l1 + tc.l2_weight * l2
+
+            loss, grads = jax.value_and_grad(loss_fn)(model)
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return (model, opt_state), loss
+
+        return jax.jit(step)
+
+    def step(self, state, cams, targets):
+        if self.n_bands > 1:
+            camera, target = cams, targets  # (state, Camera, (H, W, 3))
+            key = camera.content_key() if hasattr(camera, "content_key") \
+                else id(camera)
+            stale = (self._bind_age is None or key != self._bind_key
+                     or self._bind_age >= self.tc.refresh_every)
+            if stale:
+                self._banded.bind(state[0], camera)
+                self._bind_age, self._bind_key = 0, key
+            self._bind_age += 1
+            topos, rays_bands = self._banded._bound
+            return self._step(state, topos, rays_bands,
+                              jnp.asarray(target))
         return self._step(state, cams, targets)

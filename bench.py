@@ -131,8 +131,12 @@ def main():
     # the measurement pass (stale keys die with the fingerprint)
     plan_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_plan.json")
+    # slack 1.05: the bench scene+camera are fixed, so planning headroom is
+    # pure cost (every stage is proportional to capacity); overflow still
+    # asserts + re-plans below if a code change shifts the counts
+    slack = float(os.environ.get("GVRT_BENCH_SLACK", 1.05))
     plan_key = (f"{n_gauss}x{width}x{height}-v{binning.PLAN_VERSION}-"
-                f"s{SCENE_VERSION}-{abs(hash(cfg)) % 10**10}")
+                f"s{SCENE_VERSION}-k{slack}-{abs(hash(cfg)) % 10**10}")
 
     def save_plan():
         try:
@@ -146,7 +150,7 @@ def main():
             renderer.capacity = tuple(json.load(f)[plan_key])
         log(f"bench: capacity={renderer.capacity} (cached)")
     except (OSError, KeyError, ValueError):
-        renderer.plan(model, [cam])
+        renderer.plan(model, [cam], slack=slack)
         log(f"bench: capacity={renderer.capacity}")
         save_plan()
 
@@ -222,7 +226,7 @@ def main():
     assert grad_norm > 0, "zero gradients"
     if overflow > 0:  # stale cached capacity would silently truncate pairs
         log("bench: overflow > 0 -> re-planning capacity")
-        renderer.plan(model, [cam])
+        renderer.plan(model, [cam], slack=slack)
         log(f"bench: capacity={renderer.capacity}")
         val, mean_hits, overflow, grad_norm = map(float, probe(model))
         assert overflow == 0, f"overflow {overflow} after re-plan"

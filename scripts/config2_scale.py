@@ -119,11 +119,95 @@ for _ in range(2):
 print(f"fwd-only: {best_f*1e3:.1f} ms/frame  "
       f"({W*H/best_f/1e6:.1f} Mrays/s)", flush=True)
 
+# ---- topology-held protocol (round-4): bind per-band topologies once,
+# render/train against them (the reference's AS-build-once shape; refresh
+# every K steps in training exactly like the flagship bench) ----
+from gvrt_tpu.render.banded import BandedRenderer, _render_banded_bound
+
+r = BandedRenderer(W, H, BANDS, cfg, capacity=(cap, cap_pad))
+t0 = time.time()
+topos = r.bind(model, cam)
+sync(topos.chunk_tile)
+bind_s = time.time() - t0
+print(f"bind (all {BANDS} bands' topologies): {bind_s:.1f}s", flush=True)
+rays_bands = r._bound[1]
+
+
+@jax.jit
+def fwd_bound_k(m):
+    def body(i, carry):
+        m, acc = carry
+        img, _ = _render_banded_bound(m.activate(), topos, rays_bands, W, H,
+                                      cfg, r.impl)
+        val = jnp.mean((img[..., 0:3] - target) ** 2)
+        m = dataclasses.replace(m, means=m.means + 0.0 * val)
+        return (m, acc + val)
+    return jax.lax.fori_loop(0, K, body, (m, 0.0))
+
+
+sync(fwd_bound_k(model))
+best_fb = 1e30
+for _ in range(2):
+    t0 = time.time()
+    sync(fwd_bound_k(model))
+    best_fb = min(best_fb, (time.time() - t0) / K)
+print(f"fwd-only (topology held): {best_fb*1e3:.1f} ms/frame  "
+      f"({W*H/best_fb/1e6:.1f} Mrays/s)", flush=True)
+
+
+@jax.jit
+def train_bound_k(m):
+    def loss_b(m):
+        img, _ = _render_banded_bound(m.activate(), topos, rays_bands, W, H,
+                                      cfg, r.impl)
+        return jnp.mean((img[..., 0:3] - target) ** 2)
+
+    def body(i, carry):
+        m, acc = carry
+        val, grads = jax.value_and_grad(loss_b)(m)
+        m = jax.tree.map(lambda p, g: p - 1e-12 * g, m, grads)
+        return (m, acc + val)
+    return jax.lax.fori_loop(0, K, body, (m, 0.0))
+
+
+sync(train_bound_k(model))
+best_tb = 1e30
+for _ in range(2):
+    t0 = time.time()
+    sync(train_bound_k(model))
+    best_tb = min(best_tb, (time.time() - t0) / K)
+print(f"fwd+bwd (topology held): {best_tb*1e3:.1f} ms/frame  "
+      f"({W*H/best_tb/1e6:.1f} Mrays/s)  "
+      f"[+ bind {bind_s*1e3:.0f} ms per refresh window]", flush=True)
+
+# Trainer-driven banded training step (r2 verdict: "Trainer only supports
+# the unbanded path — config[2]-scale training can't use the Trainer")
+from gvrt_tpu.train import TrainConfig, Trainer
+
+tc = TrainConfig(total_steps=10, refresh_every=10)
+trainer = Trainer(W, H, cfg, tc, capacity=(cap, cap_pad), n_bands=BANDS)
+state = trainer.init(model)
+t0 = time.time()
+state, tloss = trainer.step(state, cam, target)
+tloss = float(tloss)
+print(f"Trainer banded step (incl bind+compile): {time.time()-t0:.1f}s  "
+      f"loss {tloss:.5f}", flush=True)
+t0 = time.time()
+state, tloss2 = trainer.step(state, cam, target)
+tloss2 = float(tloss2)
+print(f"Trainer banded step (warm, topology held): "
+      f"{(time.time()-t0)*1e3:.0f} ms  loss {tloss2:.5f}", flush=True)
+assert np.isfinite(tloss2)
+
 print(json.dumps({
     "config": 2, "n_gauss": N, "bands": BANDS, "res": [W, H],
     "band_capacity": [cap, cap_pad],
     "fwd_bwd_ms": best * 1e3, "fwd_ms": best_f * 1e3,
+    "fwd_bwd_bound_ms": best_tb * 1e3, "fwd_bound_ms": best_fb * 1e3,
+    "bind_ms": bind_s * 1e3,
     "rays_per_s_fwd_bwd": W * H / best,
+    "rays_per_s_fwd_bwd_bound": W * H / best_tb,
     "mean_hits": hits, "overflow": ovf,
+    "trainer_banded_loss": tloss2,
     "peak_hbm_gb": (stats or {}).get("peak_bytes_in_use", 0) / 1e9,
 }), flush=True)

@@ -52,7 +52,8 @@ act = model.activate()
 w2c, proj = _camera_mats(cam)
 
 r = TiledRenderer(W, H, cfg)
-cap, cap_pad = r.plan(model, [cam])
+cap, cap_pad = r.plan(model, [cam],
+                      slack=float(os.environ.get("GVRT_BENCH_SLACK", 1.05)))
 print(f"bench scene: cap {cap} cap_pad {cap_pad} "
       f"chunks {cap_pad // cfg.chunk_size}", flush=True)
 rays = jax.device_put(tile_rays(cam, cfg))
@@ -167,7 +168,8 @@ if "bwd" in stages:
 if "reduce" in stages:
     from gvrt_tpu.render.param_grads import _gather_bwd
     res = (N + 1, topo.pair_gauss, topo.pair_pos,
-           topo.gauss_offsets, topo.gauss_counts)
+           topo.gauss_offsets, topo.gauss_counts, topo.red)
+    res_fb = res[:5] + (None,)
     bar = jnp.ones_like(chunks)
 
     def red_body(eps, b):
@@ -175,6 +177,12 @@ if "reduce" in stages:
         return g[0][0, 0]
     run_red = chain(red_body)
     timeit("param-grad reduce", lambda: run_red(0.0, bar))
+
+    def red_fb_body(eps, b):
+        g = _gather_bwd(cfg.chunk_size, res_fb, b + eps)
+        return g[0][0, 0]
+    run_red_fb = chain(red_fb_body)
+    timeit("reduce (XLA fallback)", lambda: run_red_fb(0.0, bar))
 
 if "reduce_sub" in stages:
     from gvrt_tpu.render.param_grads import blocked_cumsum

@@ -78,6 +78,48 @@ def test_custom_vjp_matches_autodiff_gather():
     assert float(jnp.abs(g_custom[n]).max()) == 0.0
 
 
+def test_segreduce_backend_matches_fallback():
+    """The grouped Pallas segment-reduce backend (segreduce.py) must produce
+    the same per-Gaussian gradients as the XLA prefix fallback and as plain
+    autodiff of the gather — including count-0 gaussians, dropped pairs and
+    multi-group layouts (n > 256 forces several output groups)."""
+    from gvrt_tpu.render.segreduce import build_reduce_plan
+
+    n, capacity, chunk, c = 531, 2112, 32, 6  # (capacity+chunk) % chunk == 0
+    pair_gauss, pair_pos, offsets, counts = _random_layout(
+        jax.random.key(11), n, capacity, chunk, c)
+    # pre-sort pair -> gaussian id with the cummax tail fill bin_topology
+    # produces (pairs beyond the total carry the last gaussian-with-pairs)
+    counts_np = np.asarray(counts)
+    pair_g = np.repeat(np.arange(n, dtype=np.int32), counts_np)
+    last = int(np.nonzero(counts_np)[0][-1]) if counts_np.sum() else 0
+    pair_g = np.concatenate(
+        [pair_g, np.full(capacity - pair_g.shape[0], last, np.int32)])
+    red = build_reduce_plan(jnp.asarray(pair_g), pair_pos, offsets, counts,
+                            n, capacity, int(pair_gauss.shape[0]))
+
+    rows = jax.random.normal(jax.random.key(12), (n + 1, c))
+    p_pad = pair_gauss.shape[0]
+    bar = jax.random.normal(jax.random.key(13), (p_pad // chunk, chunk, c))
+
+    def loss(r, red_arg):
+        out = chunked_gather(chunk, r, pair_gauss, pair_pos, offsets,
+                             counts, red_arg)
+        return jnp.sum(out * bar)
+
+    def plain(r):
+        return jnp.sum(r[pair_gauss].reshape(p_pad // chunk, chunk, c) * bar)
+
+    g_seg = jax.grad(loss)(rows, red)
+    g_fall = jax.grad(loss)(rows, None)
+    g_plain = jax.grad(plain)(rows)
+    np.testing.assert_allclose(np.asarray(g_seg[:n]), np.asarray(g_plain[:n]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_seg), np.asarray(g_fall),
+                               rtol=1e-4, atol=1e-5)
+    assert float(jnp.abs(g_seg[n]).max()) == 0.0
+
+
 def test_binning_grads_match_brute_force():
     """End-to-end: tiled-pipeline grads (through the new reduction) vs the
     independent brute-force renderer's autodiff."""
