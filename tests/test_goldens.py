@@ -5,10 +5,12 @@ the COMPILED Pallas kernel on the real chip (spool job 034, round 4), the
 analog of the reference's checked-in eval sets
 (`results/evaluations/3DGVRT/`).  This test re-renders the same scenes with
 the locally available impl and compares against the committed arrays —
-regression protection for kernel/binning refactors.  Tolerance: the
-measured on-chip pallas-vs-scan deviation is ~1e-7 (TPU_TESTS_r03.md);
-1e-4 leaves room for CPU-vs-TPU transcendental differences while still
-catching any real math change.
+regression protection for kernel/binning refactors.  Tolerances: on the
+chip the committed renders must reproduce ~exactly (measured
+pallas-vs-scan 0.0, spool job 034); on CPU the deliberate bf16 SH dots
+(tile_math._SH_PRECISION — DEFAULT is bf16 on TPU, f32 on CPU) plus
+transcendental differences cost up to ~1.4e-3 abs (measured), so the CPU
+bound is 4e-3 — loose, but still far below any real math change.
 """
 import json
 import os
@@ -31,6 +33,7 @@ def test_renders_match_committed_goldens():
         meta = json.load(f)
     rendered = dict(golden_scenes.render_goldens(IMPL))
     assert set(meta["views"]) == set(rendered)
+    atol = 1e-5 if os.environ.get("GVRT_TEST_TPU") else 4e-3
     for name, rgb in rendered.items():
         golden = np.load(os.path.join(GOLDEN_DIR, f"{name}.npy"))
-        np.testing.assert_allclose(rgb, golden, atol=1e-4, err_msg=name)
+        np.testing.assert_allclose(rgb, golden, atol=atol, err_msg=name)
