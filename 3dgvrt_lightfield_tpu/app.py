@@ -231,19 +231,37 @@ def cmd_train(args):
                 targets.append(load_png(path).astype(np.float32) / 255.0)
                 kept.append(cam)
         cams, targets = kept, targets
+    elif args.bands:
+        # self-distillation at garden scale: banded bounded-memory renders
+        from .render.banded import render_image_banded, resolve_bands_common
+        nb = resolve_bands_common([c.height for c in cams], args.bands,
+                                  DEFAULT_CONFIG)
+        targets = [np.asarray(render_image_banded(
+            model, c, nb, DEFAULT_CONFIG, impl=args.impl)["rgb"])
+            for c in cams]
     else:
         # self-distillation: fit to own renders (smoke-train mode)
         r = TiledRenderer(args.width, args.height, DEFAULT_CONFIG,
                           impl=args.impl)
         r.plan(model, cams[:4])
         targets = [np.asarray(r.render(model, c)["rgb"]) for c in cams]
-    planner = TiledRenderer(args.width, args.height, DEFAULT_CONFIG,
-                            impl=args.impl)
-    capacity = planner.plan(model, cams[: min(8, len(cams))])
     mesh = make_mesh(args.devices) if args.devices else None
     tc = TrainConfig(total_steps=args.steps)
-    trainer = Trainer(args.width, args.height, DEFAULT_CONFIG, tc, capacity,
-                      mesh=mesh, impl=args.impl)
+    if args.bands:
+        # garden-scale path: banded bounded-memory training, one camera per
+        # step, held per-band topologies (tc.refresh_every cadence)
+        from .render.banded import resolve_bands_common
+        n_bands = resolve_bands_common([c.height for c in cams], args.bands,
+                                       DEFAULT_CONFIG)
+        trainer = Trainer(args.width, args.height, DEFAULT_CONFIG, tc,
+                          impl=args.impl, n_bands=n_bands)
+        capacity = None
+    else:
+        planner = TiledRenderer(args.width, args.height, DEFAULT_CONFIG,
+                                impl=args.impl)
+        capacity = planner.plan(model, cams[: min(8, len(cams))])
+        trainer = Trainer(args.width, args.height, DEFAULT_CONFIG, tc,
+                          capacity, mesh=mesh, impl=args.impl)
     state = trainer.init(model)
     start_step = 0
     if args.ckpt_dir:
@@ -257,15 +275,35 @@ def cmd_train(args):
     # cams[0] is the eval view and is EXCLUDED from the training pool
     # (sampling it would make the "held-out" PSNR a training metric)
     from .utils.metrics import psnr
-    eval_r = TiledRenderer(args.width, args.height, DEFAULT_CONFIG,
-                           capacity=capacity, impl=args.impl)
+    if args.bands:
+        from .render.banded import BandedRenderer
+
+        class _BandedEval:
+            def __init__(self):
+                self._r = BandedRenderer(args.width, args.height,
+                                         trainer.n_bands, DEFAULT_CONFIG,
+                                         impl=args.impl)
+
+            def render(self, m, cam):
+                self._r.bind(m, cam)
+                return self._r.render_bound(m)
+        eval_r = _BandedEval()
+    else:
+        eval_r = TiledRenderer(args.width, args.height, DEFAULT_CONFIG,
+                               capacity=capacity, impl=args.impl)
     train_pool = np.arange(1, len(cams)) if len(cams) > 1 else np.arange(1)
     bsz = min(args.batch, len(train_pool))
     for step in range(start_step, args.steps):
         idx = rng.choice(train_pool, size=bsz, replace=False)
-        batch = camera_batch([cams[i] for i in idx], DEFAULT_CONFIG)
-        tgt = jnp.stack([jnp.asarray(targets[i]) for i in idx])
-        state, loss = trainer.step(state, batch, tgt)
+        if args.bands:
+            # banded steps take one Camera at a time (held topologies are
+            # per-camera; random small batches would thrash the bind cache)
+            state, loss = trainer.step(state, cams[int(idx[0])],
+                                       jnp.asarray(targets[int(idx[0])]))
+        else:
+            batch = camera_batch([cams[i] for i in idx], DEFAULT_CONFIG)
+            tgt = jnp.stack([jnp.asarray(targets[i]) for i in idx])
+            state, loss = trainer.step(state, batch, tgt)
         if step % max(1, args.steps // 20) == 0:
             out = eval_r.render(state[0], cams[0])
             p = psnr(np.asarray(out["rgb"]) * 255.0,

@@ -9,4 +9,4 @@ from . import tiled
 from . import banded
 from .reference import render_image, render_rays
 from .tiled import render_image_tiled
-from .banded import render_image_banded
+from .banded import BandedRenderer, render_image_banded

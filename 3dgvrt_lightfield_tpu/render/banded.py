@@ -128,7 +128,7 @@ def _render_banded(act, w2c, proj, rays_bands, width, height, n_bands, cfg,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "cfg", "impl"))
-def _render_banded_bound(act, topos, rays_bands, width, height, cfg, impl):
+def _render_banded_bound(model, topos, rays_bands, width, height, cfg, impl):
     """Render against HELD per-band topologies (leading axis = band).
 
     The banded analog of tiled._render_from_topology: per-frame work is one
@@ -138,9 +138,13 @@ def _render_banded_bound(act, topos, rays_bands, width, height, cfg, impl):
     as stale as the topologies (refresh on the caller's K-step cadence —
     the reference's AS-build-once shape, SplitBLAS.cpp:706-752 rebuilds
     cells only on demand)."""
+    from .rows_vjp import rows64_from_model
     n_bands, _, _, _ = rays_bands.shape
     lh = height // n_bands
-    rows64 = param_rows(act, cfg)
+    # raw model in, hand-derived 1D-column VJP for the parameter table
+    # (rows_vjp.py) — the autodiff activation backward was ~50 ms/frame of
+    # lane-padded (N, small) fusions at bench scale (PROFILE section 3b)
+    rows64 = rows64_from_model(model, cfg)
 
     def body(overflow, inp):
         rays_b, topo = inp
@@ -201,7 +205,7 @@ class BandedRenderer:
         assert self._bound is not None, "call bind(model, camera) first"
         topos, rays_bands = self._bound
         img, overflow = _render_banded_bound(
-            model.activate(), topos, rays_bands, self.width, self.height,
+            model, topos, rays_bands, self.width, self.height,
             self.cfg, self.impl)
         return {
             "rgb": img[..., 0:3],

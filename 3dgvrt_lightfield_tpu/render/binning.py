@@ -296,11 +296,13 @@ def _pair_ellipsoid_cull(tile_x, tile_y, csx, csy, csz, v9, p00, p11,
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "capacity",
-                                   "capacity_padded", "row_stride"))
+                                   "capacity_padded", "row_stride",
+                                   "capacity_reduce"))
 def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
                  width: int, height: int, cfg: RenderConfig,
                  capacity: int, capacity_padded: int,
-                 row_offset=0, row_stride: int = 1) -> BinTopology:
+                 row_offset=0, row_stride: int = 1,
+                 capacity_reduce: int = 0) -> BinTopology:
     """Build the depth-sorted, chunk-aligned pair-list TOPOLOGY (no params).
 
     This is the expensive, parameter-gradient-free half of binning (tile
@@ -311,15 +313,18 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     may be a traced per-device scalar inside shard_map)."""
     tab = frame_cull_table(act, w2c, proj, width, height, cfg)
     return bin_topology_from_table(tab, proj, width, height, cfg, capacity,
-                                   capacity_padded, row_offset, row_stride)
+                                   capacity_padded, row_offset, row_stride,
+                                   capacity_reduce)
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "capacity",
-                                   "capacity_padded", "row_stride"))
+                                   "capacity_padded", "row_stride",
+                                   "capacity_reduce"))
 def bin_topology_from_table(tab: FrameCullTable, proj: jnp.ndarray,
                             width: int, height: int, cfg: RenderConfig,
                             capacity: int, capacity_padded: int,
-                            row_offset=0, row_stride: int = 1) -> BinTopology:
+                            row_offset=0, row_stride: int = 1,
+                            capacity_reduce: int = 0) -> BinTopology:
     """Topology from a precomputed frame table (see FrameCullTable).
 
     The banded renderer computes the table once per frame and calls this
@@ -448,9 +453,13 @@ def bin_topology_from_table(tab: FrameCullTable, proj: jnp.ndarray,
     # static group padding is O(N) rows, which at 5M gaussians would more
     # than double the backward permutation gather (the banded path keeps
     # the XLA prefix fallback, param_grads._bwd_xla_prefix).
-    red = (build_reduce_plan(pair_g, pair_pos, offsets, counts, n,
-                             capacity, capacity_padded)
-           if n <= 1_500_000 else None)
+    if n <= 1_500_000:
+        red, red_overflow = build_reduce_plan(
+            pair_g, pair_pos, offsets, counts, n, capacity,
+            capacity_padded, capacity_reduce)
+        overflow = overflow + red_overflow
+    else:
+        red = None
 
     return BinTopology(
         chunk_tile=chunk_tile,
@@ -635,6 +644,52 @@ def plan_capacity_from_table(tab: FrameCullTable, proj, width, height,
     # snap to the compile-shape grid (see _bucket_capacity): re-plans after
     # drift/overflow reuse already-compiled pipeline shapes
     return _bucket_capacity(capacity, g), _bucket_capacity(capacity_padded, g)
+
+
+def plan_reduce_capacity_from_table(tab: FrameCullTable, proj, width, height,
+                                    cfg: RenderConfig, n_rows: int,
+                                    slack: float = 1.05, band=(0, 1)) -> int:
+    """Host plan for the live-compacted grad-reduce layout (segreduce.py).
+
+    Counts the post-cull SURVIVOR pairs (the same host replication of the
+    expansion + fine cull as plan_capacity_from_table) and sizes the static
+    reduction row count: survivors x slack + one padded block per
+    256-Gaussian group, bucketed like the other capacities.  Rows that
+    don't fit at runtime are counted into topology overflow (re-plan
+    contract), so a tight slack is safe."""
+    from .segreduce import plan_rows
+    ts = cfg.tile_size
+    nx, ny = width // ts, height // ts
+    tx0, tx1 = np.asarray(tab.tx0), np.asarray(tab.tx1)
+    ty0, ty1 = np.asarray(tab.ty0), np.asarray(tab.ty1)
+    valid = np.asarray(tab.valid)
+    offset, stride = band
+    if stride != 1:
+        lny = ny // stride
+        ly0 = -(-(ty0 - offset) // stride)
+        ly1 = (ty1 - offset) // stride
+        valid = valid & (ly1 >= ly0) & (ly1 >= 0) & (ly0 <= lny - 1)
+        ty0 = np.clip(ly0, 0, lny - 1)
+        ty1 = np.clip(ly1, 0, lny - 1)
+    counts = np.where(valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
+    total = int(counts.sum())
+    rect_w = (tx1 - tx0 + 1)
+    pg = np.repeat(np.arange(counts.shape[0]), counts)
+    offs = np.cumsum(counts) - counts
+    j = np.arange(total) - np.repeat(offs, counts)
+    tile_x = tx0[pg] + j % rect_w[pg]
+    tile_y = ty0[pg] + j // rect_w[pg]
+    cs = [np.asarray(c) for c in tab.cs]
+    v9 = np.stack([np.asarray(c) for c in tab.v], axis=1)
+    keep = np.asarray(_pair_ellipsoid_cull(
+        tile_x, tile_y * stride + offset,
+        cs[0][pg], cs[1][pg], cs[2][pg], v9[pg],
+        float(np.asarray(proj)[0, 0]), float(np.asarray(proj)[1, 1]),
+        width, height, cfg.tile_size))
+    survivors = int(keep.sum())
+    budget = _bucket_capacity(int(math.ceil(survivors * slack)),
+                              cfg.chunk_size)
+    return plan_rows(budget, n_rows)
 
 
 def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,

@@ -115,43 +115,60 @@ def segment_reduce(bar_pre: jnp.ndarray, red: ReducePlan, n_groups: int,
 def build_reduce_plan(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
                       offsets: jnp.ndarray, counts: jnp.ndarray,
                       n: int, capacity: int,
-                      capacity_padded: int) -> ReducePlan:
+                      capacity_padded: int, cap_r: int = 0):
     """Group-block reduction layout from the pre-sort pair structure.
 
     All inputs are the arrays bin_topology already has in hand:
     `pair_g` (capacity,) pre-sort pair -> Gaussian id (cummax fill),
     `pair_pos` (capacity,) pre-sort pair -> padded slot (cap_pad = dead),
     `offsets`/`counts` (N,) each Gaussian's contiguous pre-sort range.
-    Cost is one narrow int32 capacity-row scatter + O(N) column math —
-    topology-time only (amortized over the K-step topology reuse window).
+    Cost is one narrow int32 capacity-row scatter + a capacity-length
+    int cumsum + O(N) column math — topology-time only (amortized over the
+    K-step topology reuse window).
+
+    The layout is LIVE-COMPACTED: pairs killed by the fine cull (and
+    capacity-dropped pairs) are excluded from the row count, not just
+    zero-masked — each gathered row costs a hard ~11.6 ns on v5e
+    regardless of content (E4 spool measurement), and typically only
+    ~2/3 of the pre-cull capacity survives.
     """
     assert capacity_padded < DEAD_SLOT, capacity_padded
     n_rows = n + 1
     n_groups = -(-n_rows // GROUP)
-    cap_r = plan_rows(capacity, n_rows)
+    # cap_r == 0: conservative static sizing (every pre-cull pair live).
+    # A caller whose plan measured the live count passes a tighter cap_r
+    # (TiledRenderer.plan / bench); rows that do not fit are counted in the
+    # returned overflow so the standard re-plan contract applies.
+    if cap_r <= 0:
+        cap_r = plan_rows(capacity, n_rows)
     nb = cap_r // GROUP
-
-    # per-group pair totals -> blocks per group (>= 1 so every output
-    # group block is zero-initialized by its first visit)
     pad_n = n_groups * GROUP - n
-    counts_p = jnp.concatenate(
-        [counts, jnp.zeros((pad_n,), counts.dtype)]).reshape(n_groups, GROUP)
-    gt = counts_p.sum(axis=1)                               # (n_groups,)
-    bk = jnp.maximum((gt + GROUP - 1) // GROUP, 1)
-    bstart = jnp.cumsum(bk) - bk                            # blocks, excl.
 
-    # first pre-sort pair of each group (pair ranges are contiguous and
-    # ascending, so this is offsets[256k], with the total for tail groups)
+    # live-pair rank in pre-sort order (fine-culled/dropped pairs excluded)
+    live = pair_pos < capacity_padded                       # (capacity,)
+    lrank = jnp.cumsum(live.astype(jnp.int32)) - 1          # rank of live p
+
+    # per-group LIVE totals via the rank cumsum at group boundaries
     offs_p = jnp.concatenate(
         [offsets, jnp.full((pad_n,), offsets[-1] + counts[-1],
                            offsets.dtype)]).reshape(n_groups, GROUP)
-    gp_start = offs_p[:, 0]
+    gp_start = offs_p[:, 0]                                 # first pair of k
+    live_cum0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), lrank + 1])            # live before p
+    g_live_start = live_cum0[jnp.minimum(gp_start, capacity)]
+    g_live_end = jnp.concatenate(
+        [g_live_start[1:], live_cum0[-1:]])
+    gt = g_live_end - g_live_start                          # (n_groups,)
 
-    # pre-sort pair p of group k lands at reduction row
-    #   GROUP * bstart[k] + (p - gp_start[k])  =  delta[k] + p
-    delta = GROUP * bstart - gp_start
-    p_idx = jnp.arange(capacity, dtype=jnp.int32)
-    dest = delta[pair_g >> 8] + p_idx                       # GROUP == 2^8
+    # blocks per group (>= 1 so every output group block is initialized)
+    bk = jnp.maximum((gt + GROUP - 1) // GROUP, 1)
+    bstart = jnp.cumsum(bk) - bk                            # blocks, excl.
+
+    # live pre-sort pair p of group k lands at reduction row
+    #   GROUP * bstart[k] + (lrank[p] - g_live_start[k]) = delta[k] + lrank
+    delta = GROUP * bstart - g_live_start
+    dest = delta[pair_g >> 8] + lrank                       # GROUP == 2^8
+    dest = jnp.where(live, dest, cap_r)                     # dead -> drop
 
     # ONE packed int32 scatter carries both the slot and the local Gaussian
     # index (slot < 2^24 asserted above; wide data always moves by gather)
@@ -166,4 +183,7 @@ def build_reduce_plan(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
                              mode="drop")
     out_idx = jax.lax.cummax(arr)
     first = jnp.zeros((nb,), jnp.int32).at[bstart].set(1, mode="drop")
-    return ReducePlan(slot=slot, gloc=gloc, out_idx=out_idx, first=first)
+    # live rows that did not fit a caller-tightened cap_r (re-plan signal)
+    red_overflow = jnp.sum((live & (dest >= cap_r)).astype(jnp.int32))
+    return ReducePlan(slot=slot, gloc=gloc, out_idx=out_idx,
+                      first=first), red_overflow

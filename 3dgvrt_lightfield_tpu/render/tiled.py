@@ -21,7 +21,9 @@ import numpy as np
 from ..config import RenderConfig, DEFAULT_CONFIG
 from ..models.gaussians import GaussianModel
 from .binning import (bin_gaussians, bin_topology, binned_scene,
-                      gather_chunks, plan_capacity, tile_rays, untile)
+                      frame_cull_table, gather_chunks, gather_from_rows,
+                      plan_capacity, plan_capacity_from_table,
+                      plan_reduce_capacity_from_table, tile_rays, untile)
 from .pallas_forward import forward_dispatch
 from .tile_math import ACC_DEPTH, ACC_HITS, ACC_T
 
@@ -33,10 +35,11 @@ def _camera_mats(camera):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "cfg", "cap", "cap_pad",
-                                   "impl"))
+                                   "impl", "cap_r"))
 def _render_pipeline(act, w2c, proj, rays, width, height, cfg, cap, cap_pad,
-                     impl):
-    topo = bin_topology(act, w2c, proj, width, height, cfg, cap, cap_pad)
+                     impl, cap_r=0):
+    topo = bin_topology(act, w2c, proj, width, height, cfg, cap, cap_pad,
+                        capacity_reduce=cap_r)
     acc = forward_dispatch(binned_scene(gather_chunks(act, topo, cfg), topo),
                            rays, cfg, impl)
     return _acc_outputs(acc, width, height, cfg, topo)
@@ -55,14 +58,20 @@ def _acc_outputs(acc, width, height, cfg, topo):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "cfg", "impl"))
-def _render_from_topology(act, topo, rays, width, height, cfg, impl):
+def _render_from_topology(model, topo, rays, width, height, cfg, impl):
     """Render with a HELD pair-list topology: per-frame work is only the
     parameter gather + fused kernel (the reference's AS-build-once shape,
     VulkanFullRT.cpp:575-787 vs per-frame :1185-1244).  Gradients are exact
     for this forward (no gradient flows through the topology); forward
     values use the topology's culling/depth order, which goes stale as the
-    params move — callers refresh on their own cadence."""
-    chunks = gather_chunks(act, topo, cfg)
+    params move — callers refresh on their own cadence.
+
+    Takes the RAW model: the parameter table + its gradients go through the
+    hand-derived 1D-column VJP (render/rows_vjp.py), not autodiff of the
+    activation chain — the trace-measured ~50 ms/frame of lane-padded
+    (N, small) cotangent fusions (PROFILE section 3b)."""
+    from .rows_vjp import rows64_from_model
+    chunks = gather_from_rows(rows64_from_model(model, cfg), topo, cfg)
     acc = forward_dispatch(binned_scene(chunks, topo), rays, cfg, impl)
     return _acc_outputs(acc, width, height, cfg, topo)
 
@@ -89,6 +98,9 @@ class TiledRenderer:
         self.width, self.height, self.cfg = width, height, cfg
         self.impl = _resolve_impl(impl)
         self.capacity = capacity
+        #: static row count of the live-compacted grad-reduce layout
+        #: (0 = conservative derivation from `capacity`; set by plan())
+        self.capacity_reduce = 0
         self._ray_cache = {}
         self._bound = None  # (topology, rays) from bind()
 
@@ -103,13 +115,21 @@ class TiledRenderer:
         to the planned capacity, and 1.3 was measured as ~20% of the
         round-3 frame time spent on slack slots."""
         act = model.activate()
-        cap = cap_pad = 0
+        cap = cap_pad = cap_r = 0
         for cam in cameras:
             w2c, proj = _camera_mats(cam)
-            c, cp = plan_capacity(act, w2c, proj, self.width, self.height,
-                                  self.cfg, slack=slack)
-            cap, cap_pad = max(cap, c), max(cap_pad, cp)
+            tab = jax.tree.map(np.asarray, frame_cull_table(
+                act, jnp.asarray(w2c), jnp.asarray(proj), self.width,
+                self.height, self.cfg))
+            c, cp = plan_capacity_from_table(tab, proj, self.width,
+                                             self.height, self.cfg,
+                                             slack=slack)
+            cr = plan_reduce_capacity_from_table(
+                tab, proj, self.width, self.height, self.cfg,
+                act.means.shape[0] + 1, slack=max(slack, 1.05))
+            cap, cap_pad, cap_r = max(cap, c), max(cap_pad, cp), max(cap_r, cr)
         self.capacity = (cap, cap_pad)
+        self.capacity_reduce = cap_r
         return self.capacity
 
     def _rays(self, camera):
@@ -132,19 +152,20 @@ class TiledRenderer:
         w2c, proj = _camera_mats(camera)
         out = _render_pipeline(model.activate(), w2c, proj,
                                self._rays(camera), self.width, self.height,
-                               self.cfg, *self.capacity, self.impl)
+                               self.cfg, *self.capacity, self.impl,
+                               self.capacity_reduce)
         # capacity overflow truncates pairs (dropped, never corrupt); when
         # called eagerly, re-plan for this camera and re-render once
         if (not isinstance(out["overflow"], jax.core.Tracer)
                 and int(out["overflow"]) > 0):
-            c, cp = plan_capacity(model.activate(), w2c, proj, self.width,
-                                  self.height, self.cfg)
-            self.capacity = (max(self.capacity[0], c),
-                             max(self.capacity[1], cp))
+            cap0 = self.capacity
+            self.plan(model, [camera])
+            self.capacity = (max(cap0[0], self.capacity[0]),
+                             max(cap0[1], self.capacity[1]))
             out = _render_pipeline(model.activate(), w2c, proj,
                                    self._rays(camera), self.width,
                                    self.height, self.cfg, *self.capacity,
-                                   self.impl)
+                                   self.impl, self.capacity_reduce)
         return out
 
     def bind(self, model: GaussianModel, camera):
@@ -155,15 +176,17 @@ class TiledRenderer:
             self.plan(model, [camera])
         w2c, proj = _camera_mats(camera)
         topo = bin_topology(model.activate(), w2c, proj, self.width,
-                            self.height, self.cfg, *self.capacity)
+                            self.height, self.cfg, *self.capacity,
+                            capacity_reduce=self.capacity_reduce)
         if (not isinstance(topo.overflow, jax.core.Tracer)
                 and int(topo.overflow) > 0):
-            c, cp = plan_capacity(model.activate(), w2c, proj, self.width,
-                                  self.height, self.cfg)
-            self.capacity = (max(self.capacity[0], c),
-                             max(self.capacity[1], cp))
+            cap0 = self.capacity
+            self.plan(model, [camera])
+            self.capacity = (max(cap0[0], self.capacity[0]),
+                             max(cap0[1], self.capacity[1]))
             topo = bin_topology(model.activate(), w2c, proj, self.width,
-                                self.height, self.cfg, *self.capacity)
+                                self.height, self.cfg, *self.capacity,
+                                capacity_reduce=self.capacity_reduce)
         self._bound = (topo, self._rays(camera))
         return topo
 
@@ -175,7 +198,7 @@ class TiledRenderer:
         caller's staleness cadence (e.g. every K training steps)."""
         assert self._bound is not None, "call bind(model, camera) first"
         topo, rays = self._bound
-        return _render_from_topology(model.activate(), topo, rays,
+        return _render_from_topology(model, topo, rays,
                                      self.width, self.height, self.cfg,
                                      self.impl)
 

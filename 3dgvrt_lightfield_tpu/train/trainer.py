@@ -180,7 +180,7 @@ class Trainer:
             model, opt_state = state
 
             def loss_fn(m):
-                img, _ = _render_banded_bound(m.activate(), topos,
+                img, _ = _render_banded_bound(m, topos,
                                               rays_bands, width, height,
                                               cfg, impl)
                 rgb = img[..., 0:3]

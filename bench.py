@@ -105,7 +105,8 @@ def main():
     import gvrt_tpu as g3
     from gvrt_tpu.render import binning
     from gvrt_tpu.render.binning import (bin_topology, binned_scene,
-                                         gather_chunks, tile_rays, untile)
+                                         gather_from_rows, tile_rays, untile)
+    from gvrt_tpu.render.rows_vjp import rows64_from_model
     from gvrt_tpu.render.pallas_forward import forward_dispatch
     from gvrt_tpu.render.tiled import TiledRenderer, _camera_mats
 
@@ -141,17 +142,22 @@ def main():
     def save_plan():
         try:
             with open(plan_cache, "w") as f:
-                json.dump({plan_key: list(renderer.capacity)}, f)
+                json.dump({plan_key: list(renderer.capacity)
+                           + [renderer.capacity_reduce]}, f)
         except OSError:
             pass
 
     try:
         with open(plan_cache) as f:
-            renderer.capacity = tuple(json.load(f)[plan_key])
-        log(f"bench: capacity={renderer.capacity} (cached)")
-    except (OSError, KeyError, ValueError):
+            cached = json.load(f)[plan_key]
+        renderer.capacity = tuple(cached[:2])
+        renderer.capacity_reduce = cached[2]
+        log(f"bench: capacity={renderer.capacity} "
+            f"reduce_rows={renderer.capacity_reduce} (cached)")
+    except (OSError, KeyError, ValueError, IndexError):
         renderer.plan(model, [cam], slack=slack)
-        log(f"bench: capacity={renderer.capacity}")
+        log(f"bench: capacity={renderer.capacity} "
+            f"reduce_rows={renderer.capacity_reduce}")
         save_plan()
 
     target = jnp.zeros((height, width, 3)) + 0.3
@@ -164,36 +170,44 @@ def main():
     def make_topo(m):
         cap, cap_pad = renderer.capacity
         return bin_topology(m.activate(), w2c, proj, width, height, cfg,
-                            cap, cap_pad)
+                            cap, cap_pad,
+                            capacity_reduce=renderer.capacity_reduce)
 
     def loss_fn(m, topo):
-        act = m.activate()
-        scene = binned_scene(gather_chunks(act, topo, cfg), topo)
+        # raw model in: the parameter table + its gradients go through the
+        # hand-derived 1D-column VJP (rows_vjp.py), not autodiff of the
+        # activation chain (~50 ms/frame of lane-padded (N, small)
+        # cotangent fusions in the r4 trace, PROFILE section 3b)
+        rows = rows64_from_model(m, cfg)
+        scene = binned_scene(gather_from_rows(rows, topo, cfg), topo)
         acc = forward_dispatch(scene, rays, cfg, impl)
         img = untile(acc, width, height, cfg.tile_size)
         return (jnp.mean((img[..., 0:3] - target) ** 2),
                 jnp.mean(img[..., 5]))  # (loss, mean hit count)
 
     @jax.jit
-    def probe(m):
-        topo = make_topo(m)
-        (val, hits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(m, topo)
-        return val, hits, topo.overflow, jnp.linalg.norm(grads.means)
-
-    @jax.jit
     def train_k(m):
         """One K-step training window: topology refresh + K exact-gradient
-        steps against it (the documented K-step staleness contract)."""
+        steps against it (the documented K-step staleness contract).
+
+        Also returns the sanity aux (mean hits, overflow, first-step grad
+        norm): the separate probe graph cost a full ~90 s XLA+Mosaic cold
+        compile for a near-duplicate of this one (036 spool measurement) —
+        one graph serves both roles."""
         topo = make_topo(m)
 
         def body(i, carry):
-            m, acc = carry
-            (val, _), grads = jax.value_and_grad(
+            m, acc, aux = carry
+            (val, hits), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(m, topo)
+            aux0 = (val, hits, jnp.linalg.norm(grads.means))
+            aux = jax.tree.map(
+                lambda a, b: jnp.where(i == 0, b, a), aux, aux0)
             m = jax.tree.map(lambda p, g: p - lr * g, m, grads)
-            return (m, acc + val)
-        return jax.lax.fori_loop(0, k, body, (m, 0.0))
+            return (m, acc + val, aux)
+        m, acc, aux = jax.lax.fori_loop(
+            0, k, body, (m, 0.0, (0.0, 0.0, 0.0)))
+        return m, acc, aux + (topo.overflow,)
 
     @jax.jit
     def fwd_k(m):
@@ -201,7 +215,8 @@ def main():
         'AS' (topology + parameter chunks) is built once — params are frozen
         during pure rendering — then every frame is trace + composite."""
         topo = make_topo(m)
-        scene = binned_scene(gather_chunks(m.activate(), topo, cfg), topo)
+        scene = binned_scene(
+            gather_from_rows(rows64_from_model(m, cfg), topo, cfg), topo)
 
         def body(i, carry):
             rays_i, acc = carry
@@ -212,11 +227,13 @@ def main():
             return (rays_i + 0.0 * val, acc + val)
         return jax.lax.fori_loop(0, k, body, (rays, 0.0))
 
-    # warmup / compile + sanity probes.  NB: axon's block_until_ready can
-    # return before the device finishes; a D2H scalar read is the sync.
+    # warmup / compile + sanity probes (first train_k call).  NB: axon's
+    # block_until_ready can return before the device finishes; a D2H scalar
+    # read is the sync.
     t_c = time.time()
-    val, mean_hits, overflow, grad_norm = map(float, probe(model))
-    log(f"bench: compile+first step {time.time() - t_c:.1f}s")
+    m2, acc, aux = train_k(model)
+    val, mean_hits, grad_norm, overflow = map(float, aux)
+    log(f"bench: compile+first window {time.time() - t_c:.1f}s")
     assert np.isfinite(val)
     log(f"bench: mean hits/ray {mean_hits:.2f} grad norm {grad_norm:.2e} "
         f"overflow {overflow:.0f}")
@@ -227,20 +244,20 @@ def main():
     if overflow > 0:  # stale cached capacity would silently truncate pairs
         log("bench: overflow > 0 -> re-planning capacity")
         renderer.plan(model, [cam], slack=slack)
-        log(f"bench: capacity={renderer.capacity}")
-        val, mean_hits, overflow, grad_norm = map(float, probe(model))
+        log(f"bench: capacity={renderer.capacity} "
+            f"reduce_rows={renderer.capacity_reduce}")
+        _, _, aux = train_k(model)
+        overflow = float(aux[3])
         assert overflow == 0, f"overflow {overflow} after re-plan"
         save_plan()
 
     # steady-state: K chained on-device frames per sync, best of reps.
     # The chain INCLUDES its topology refresh — the measured number is the
     # true amortized cost of the K-step-refresh training protocol.
-    m2, acc = train_k(model)  # compile
-    _ = float(acc)
     best = 1e30
     for _i in range(reps):
         t0 = time.time()
-        m2, acc = train_k(model)
+        m2, acc, _aux = train_k(model)
         _ = float(acc)  # D2H sync
         best = min(best, (time.time() - t0) / k)
     rays_per_s = width * height / best

@@ -133,11 +133,14 @@ print(f"bind (all {BANDS} bands' topologies): {bind_s:.1f}s", flush=True)
 rays_bands = r._bound[1]
 
 
+# NB: topologies/ray bands are ~0.5 GB of device arrays — they MUST be jit
+# ARGUMENTS, not closure constants: axon's remote compile POSTs the graph
+# and big captured constants break the transport (broken pipe, measured)
 @jax.jit
-def fwd_bound_k(m):
+def fwd_bound_k(m, topos, rays_bands):
     def body(i, carry):
         m, acc = carry
-        img, _ = _render_banded_bound(m.activate(), topos, rays_bands, W, H,
+        img, _ = _render_banded_bound(m, topos, rays_bands, W, H,
                                       cfg, r.impl)
         val = jnp.mean((img[..., 0:3] - target) ** 2)
         m = dataclasses.replace(m, means=m.means + 0.0 * val)
@@ -145,20 +148,20 @@ def fwd_bound_k(m):
     return jax.lax.fori_loop(0, K, body, (m, 0.0))
 
 
-sync(fwd_bound_k(model))
+sync(fwd_bound_k(model, topos, rays_bands))
 best_fb = 1e30
 for _ in range(2):
     t0 = time.time()
-    sync(fwd_bound_k(model))
+    sync(fwd_bound_k(model, topos, rays_bands))
     best_fb = min(best_fb, (time.time() - t0) / K)
 print(f"fwd-only (topology held): {best_fb*1e3:.1f} ms/frame  "
       f"({W*H/best_fb/1e6:.1f} Mrays/s)", flush=True)
 
 
 @jax.jit
-def train_bound_k(m):
+def train_bound_k(m, topos, rays_bands):
     def loss_b(m):
-        img, _ = _render_banded_bound(m.activate(), topos, rays_bands, W, H,
+        img, _ = _render_banded_bound(m, topos, rays_bands, W, H,
                                       cfg, r.impl)
         return jnp.mean((img[..., 0:3] - target) ** 2)
 
@@ -170,11 +173,11 @@ def train_bound_k(m):
     return jax.lax.fori_loop(0, K, body, (m, 0.0))
 
 
-sync(train_bound_k(model))
+sync(train_bound_k(model, topos, rays_bands))
 best_tb = 1e30
 for _ in range(2):
     t0 = time.time()
-    sync(train_bound_k(model))
+    sync(train_bound_k(model, topos, rays_bands))
     best_tb = min(best_tb, (time.time() - t0) / K)
 print(f"fwd+bwd (topology held): {best_tb*1e3:.1f} ms/frame  "
       f"({W*H/best_tb/1e6:.1f} Mrays/s)  "

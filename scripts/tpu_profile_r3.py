@@ -55,6 +55,7 @@ r = TiledRenderer(W, H, cfg)
 cap, cap_pad = r.plan(model, [cam],
                       slack=float(os.environ.get("GVRT_BENCH_SLACK", 1.05)))
 print(f"bench scene: cap {cap} cap_pad {cap_pad} "
+      f"reduce_rows {r.capacity_reduce} "
       f"chunks {cap_pad // cfg.chunk_size}", flush=True)
 rays = jax.device_put(tile_rays(cam, cfg))
 
@@ -95,14 +96,16 @@ def chain(body):
 
 
 topo = jax.jit(lambda a: bin_topology(a, w2c, proj, W, H, cfg, cap,
-                                      cap_pad))(act)
+                                      cap_pad,
+                                      capacity_reduce=r.capacity_reduce))(act)
 sync(topo)
 chunks = None
 
 if "topo" in stages:
     def topo_body(eps):
         a2 = act._replace(densities=act.densities + eps)
-        t = bin_topology(a2, w2c, proj, W, H, cfg, cap, cap_pad)
+        t = bin_topology(a2, w2c, proj, W, H, cfg, cap, cap_pad,
+                         capacity_reduce=r.capacity_reduce)
         return jnp.sum(t.num_pairs).astype(jnp.float32)
     run_topo = chain(topo_body)
     timeit("topology", lambda: run_topo(0.0))

@@ -97,8 +97,10 @@ def test_banded_bound_topology_matches_fresh():
     bound = r.render_bound(model)
     fresh = render_image_banded(model, cam, 2, CFG, capacity=r.capacity,
                                 impl="scan")
+    # render_bound activates inside its jit via the fused rows_vjp layer;
+    # the per-frame-binned path activates separately -> ~1e-5 associativity
     np.testing.assert_allclose(np.asarray(bound["rgb"]),
-                               np.asarray(fresh["rgb"]), atol=1e-6)
+                               np.asarray(fresh["rgb"]), atol=3e-5)
 
     # move params, keep the stale topology: forward uses stale culling but
     # gradients must be the exact gradients of THAT forward

@@ -95,8 +95,10 @@ def test_segreduce_backend_matches_fallback():
     last = int(np.nonzero(counts_np)[0][-1]) if counts_np.sum() else 0
     pair_g = np.concatenate(
         [pair_g, np.full(capacity - pair_g.shape[0], last, np.int32)])
-    red = build_reduce_plan(jnp.asarray(pair_g), pair_pos, offsets, counts,
-                            n, capacity, int(pair_gauss.shape[0]))
+    red, red_ovf = build_reduce_plan(jnp.asarray(pair_g), pair_pos, offsets,
+                                     counts, n, capacity,
+                                     int(pair_gauss.shape[0]))
+    assert int(red_ovf) == 0
 
     rows = jax.random.normal(jax.random.key(12), (n + 1, c))
     p_pad = pair_gauss.shape[0]
@@ -118,6 +120,26 @@ def test_segreduce_backend_matches_fallback():
     np.testing.assert_allclose(np.asarray(g_seg), np.asarray(g_fall),
                                rtol=1e-4, atol=1e-5)
     assert float(jnp.abs(g_seg[n]).max()) == 0.0
+
+    # live-compacted tight cap_r: same gradients; an IMPOSSIBLY tight one
+    # must report overflow (the re-plan signal), never silently drop
+    from gvrt_tpu.render.segreduce import GROUP, plan_rows
+    live = int(jnp.sum(pair_pos < pair_gauss.shape[0]))
+    tight = plan_rows(live, n + 1)
+    red_t, ovf_t = build_reduce_plan(jnp.asarray(pair_g), pair_pos, offsets,
+                                     counts, n, capacity,
+                                     int(pair_gauss.shape[0]), cap_r=tight)
+    assert int(ovf_t) == 0
+    g_tight = jax.grad(loss)(rows, red_t)
+    np.testing.assert_allclose(np.asarray(g_tight), np.asarray(g_seg),
+                               rtol=1e-4, atol=1e-5)
+    n_groups = -(-(n + 1) // GROUP)
+    too_tight = GROUP * n_groups  # only the min 1 block per group
+    _, ovf_bad = build_reduce_plan(jnp.asarray(pair_g), pair_pos, offsets,
+                                   counts, n, capacity,
+                                   int(pair_gauss.shape[0]),
+                                   cap_r=too_tight)
+    assert int(ovf_bad) > 0
 
 
 def test_binning_grads_match_brute_force():

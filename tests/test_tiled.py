@@ -149,8 +149,11 @@ def test_render_replans_on_overflow():
 
 
 def test_bound_topology_replay_matches_render():
-    """bind() + render_bound() == render() exactly for the bound model, and
-    stays correct-by-gradient when params move (stale culling, exact VJP)."""
+    """bind() + render_bound() == render() for the bound model (to float
+    associativity: render_bound activates inside its jit via the fused
+    rows_vjp parameter layer, render() activates eagerly — ~1e-5 relative),
+    and stays correct-by-gradient when params move (stale culling, exact
+    VJP)."""
     from gvrt_tpu.render.tiled import TiledRenderer
     import dataclasses
     model = _scene(150, seed=3)
@@ -160,9 +163,9 @@ def test_bound_topology_replay_matches_render():
     r.bind(model, cam)
     out_bound = r.render_bound(model)
     np.testing.assert_allclose(np.asarray(out_bound["rgb"]),
-                               np.asarray(out_ref["rgb"]), atol=1e-6)
+                               np.asarray(out_ref["rgb"]), atol=3e-5)
     np.testing.assert_allclose(np.asarray(out_bound["depth"]),
-                               np.asarray(out_ref["depth"]), atol=1e-6)
+                               np.asarray(out_ref["depth"]), atol=3e-4)
 
     # gradients through the bound path equal gradients through the full
     # pipeline (no gradient flows through the topology)
