@@ -687,8 +687,12 @@ def plan_reduce_capacity_from_table(tab: FrameCullTable, proj, width, height,
         float(np.asarray(proj)[0, 0]), float(np.asarray(proj)[1, 1]),
         width, height, cfg.tile_size))
     survivors = int(keep.sum())
+    # finer 1.1x bucket than the pipeline shapes: the reduce gather pays a
+    # hard ~11.6 ns per row (PROFILE section 1), and the 1.25x grid was
+    # measured to quantize the live-compaction win away entirely (round-4
+    # stage profile: survivors 1.166M -> same 1.77M rows as no compaction)
     budget = _bucket_capacity(int(math.ceil(survivors * slack)),
-                              cfg.chunk_size)
+                              cfg.chunk_size, ratio=1.1)
     return plan_rows(budget, n_rows)
 
 

@@ -112,11 +112,13 @@ def _bwd_xla_prefix(n_rows, pair_pos, offsets, counts, bar_flat):
 
 
 def _bwd_segreduce(n_rows, red, bar_flat):
-    """Grouped-layout Pallas direct segment sum (round-4 default)."""
+    """Grouped-layout Pallas direct segment sum (round-4 default).
+
+    No dead-row select: dead rows carry an out-of-range g_loc (see
+    build_reduce_plan), so the kernel's 0/1 selection weights their
+    (clamped, finite) gathered values by exactly zero."""
     p_pad = bar_flat.shape[0]
-    # dead rows (group padding, culled, dropped) have slot >= p_pad
-    bar_pre = jnp.where((red.slot < p_pad)[:, None],
-                        bar_flat[jnp.minimum(red.slot, p_pad - 1)], 0.0)
+    bar_pre = bar_flat[jnp.minimum(red.slot, p_pad - 1)]
     n_groups = -(-n_rows // GROUP)
     interpret = jax.default_backend() != "tpu"
     out = segment_reduce(bar_pre, red, n_groups, interpret=interpret)

@@ -91,8 +91,11 @@ def segment_reduce(bar_pre: jnp.ndarray, red: ReducePlan, n_groups: int,
     """(cap_r, C) pre-sort cotangent rows -> (n_groups * GROUP, C) sums.
 
     Output row g is the exact f32 sum of the rows of Gaussian g (group
-    k = g // GROUP occupying output rows [256k, 256k+256)); rows of dead
-    slots must already be zero (the caller's masked gather does that).
+    k = g // GROUP occupying output rows [256k, 256k+256)).  Dead rows need
+    no masking: their g_loc is the out-of-range sentinel GROUP (see
+    build_reduce_plan), so the 0/1 selection weights them by exactly zero
+    — as long as their values are FINITE (the clamped gather guarantees a
+    real cotangent row, never uninitialized memory).
     """
     cap_r, c = bar_pre.shape
     nb = cap_r // GROUP
@@ -176,7 +179,14 @@ def build_reduce_plan(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
     table = jnp.full((cap_r,), DEAD_SLOT, jnp.int32)
     table = table.at[dest].set(packed, mode="drop")
     slot = table & DEAD_SLOT
-    gloc = ((table >> 24) & 0xFF).reshape(nb, GROUP)
+    gloc = (table >> 24) & 0xFF
+    # dead rows get an out-of-range local index: the kernel's
+    # (iota == gloc) selection then contributes exactly zero for them, so
+    # the backward can gather WITHOUT a dead-row select pass (the XLA
+    # where() was a measured 2.8 ms/frame full-array pass at bench scale;
+    # the clamped gather row is a real finite cotangent, so 0-weight in
+    # the matmul is exact)
+    gloc = jnp.where(slot >= capacity_padded, GROUP, gloc).reshape(nb, GROUP)
 
     arr = jnp.zeros((nb,), jnp.int32)
     arr = arr.at[bstart].max(jnp.arange(n_groups, dtype=jnp.int32),

@@ -105,7 +105,7 @@ def main():
     import gvrt_tpu as g3
     from gvrt_tpu.render import binning
     from gvrt_tpu.render.binning import (bin_topology, binned_scene,
-                                         gather_from_rows, tile_rays, untile)
+                                         gather_from_rows, tile_rays)
     from gvrt_tpu.render.rows_vjp import rows64_from_model
     from gvrt_tpu.render.pallas_forward import forward_dispatch
     from gvrt_tpu.render.tiled import TiledRenderer, _camera_mats
@@ -160,7 +160,16 @@ def main():
             f"reduce_rows={renderer.capacity_reduce}")
         save_plan()
 
+    # loss computed in TILED space: the L2 against a constant target is a
+    # pixel-order-independent mean, so comparing against the pre-tiled
+    # target on the raw (num_tiles, 8, R) accumulator skips the untile
+    # transpose chain in both forward and backward (measured ~3 ms/frame of
+    # relayout copies in the r4 trace) — same loss value, same gradients
     target = jnp.zeros((height, width, 3)) + 0.3
+    ts = cfg.tile_size
+    target_tiled = jnp.asarray(
+        np.asarray(target).reshape(height // ts, ts, width // ts, ts, 3)
+        .transpose(0, 2, 4, 1, 3).reshape(-1, 3, ts * ts))
     lr = 1e-12  # real chained SGD updates, numerically negligible drift
     w2c, proj = _camera_mats(cam)
     rays = jax.device_put(tile_rays(cam, cfg))
@@ -181,9 +190,8 @@ def main():
         rows = rows64_from_model(m, cfg)
         scene = binned_scene(gather_from_rows(rows, topo, cfg), topo)
         acc = forward_dispatch(scene, rays, cfg, impl)
-        img = untile(acc, width, height, cfg.tile_size)
-        return (jnp.mean((img[..., 0:3] - target) ** 2),
-                jnp.mean(img[..., 5]))  # (loss, mean hit count)
+        return (jnp.mean((acc[:, 0:3, :] - target_tiled) ** 2),
+                jnp.mean(acc[:, 5, :]))  # (loss, mean hit count)
 
     @jax.jit
     def train_k(m):
@@ -221,8 +229,7 @@ def main():
         def body(i, carry):
             rays_i, acc = carry
             acc_t = forward_dispatch(scene, rays_i, cfg, impl)
-            img = untile(acc_t, width, height, cfg.tile_size)
-            val = jnp.mean((img[..., 0:3] - target) ** 2)
+            val = jnp.mean((acc_t[:, 0:3, :] - target_tiled) ** 2)
             # chain iterations: negligible but real dependency (no CSE)
             return (rays_i + 0.0 * val, acc + val)
         return jax.lax.fori_loop(0, k, body, (rays, 0.0))
