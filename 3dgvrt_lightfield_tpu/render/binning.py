@@ -591,14 +591,13 @@ def _bucket_capacity(v: int, g: int, ratio: float = 1.25) -> int:
     return int(math.ceil(g * ratio ** k / g)) * g
 
 
-def plan_capacity_from_table(tab: FrameCullTable, proj, width, height,
-                             cfg: RenderConfig, slack: float = 1.3,
-                             band=(0, 1)):
-    """Host-NumPy capacity plan from a (host) frame table — see plan_capacity.
+def _host_expand_cull(tab: FrameCullTable, proj, width, height,
+                      cfg: RenderConfig, band=(0, 1)):
+    """Shared host-NumPy replication of the expansion + fine cull.
 
-    Callers planning many bands of one frame (plan_capacity_banded) compute
-    `frame_cull_table` once and call this per band instead of re-running the
-    device pass per band."""
+    Returns (total_rect_pairs, per_tile_survivors, nx, ny) for the band —
+    consumed by both the pipeline-capacity and the reduce-rows planners so
+    the O(pairs) host pass runs once per (camera, band)."""
     ts = cfg.tile_size
     nx, ny = width // ts, height // ts
     tx0, tx1 = np.asarray(tab.tx0), np.asarray(tab.tx1)
@@ -616,10 +615,6 @@ def plan_capacity_from_table(tab: FrameCullTable, proj, width, height,
         ny = lny
     counts = np.where(valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
     total = int(counts.sum())
-    g = cfg.chunk_size
-    capacity = max(g, int(math.ceil(total * slack / g)) * g)
-
-    # replicate the expansion + fine cull on host to count survivors per tile
     rect_w = (tx1 - tx0 + 1)
     pg = np.repeat(np.arange(counts.shape[0]), counts)
     offs = np.cumsum(counts) - counts
@@ -629,12 +624,27 @@ def plan_capacity_from_table(tab: FrameCullTable, proj, width, height,
     cs = [np.asarray(c) for c in tab.cs]
     v9 = np.stack([np.asarray(c) for c in tab.v], axis=1)
     keep = np.asarray(_pair_ellipsoid_cull(
-        tile_x, tile_y * band[1] + band[0],
+        tile_x, tile_y * stride + offset,
         cs[0][pg], cs[1][pg], cs[2][pg], v9[pg],
         float(np.asarray(proj)[0, 0]), float(np.asarray(proj)[1, 1]),
         width, height, cfg.tile_size))
     tile_id = (tile_y * nx + tile_x)[keep]
     per_tile = np.bincount(tile_id, minlength=nx * ny)
+    return total, per_tile, nx, ny
+
+
+def plan_capacity_from_table(tab: FrameCullTable, proj, width, height,
+                             cfg: RenderConfig, slack: float = 1.3,
+                             band=(0, 1)):
+    """Host-NumPy capacity plan from a (host) frame table — see plan_capacity.
+
+    Callers planning many bands of one frame (plan_capacity_banded) compute
+    `frame_cull_table` once and call this per band instead of re-running the
+    device pass per band."""
+    g = cfg.chunk_size
+    total, per_tile, nx, ny = _host_expand_cull(tab, proj, width, height,
+                                                cfg, band)
+    capacity = max(g, int(math.ceil(total * slack / g)) * g)
     # slack per tile for camera motion + a pool of whole chunks for tiles
     # that are empty now but covered later; runtime overflow is reported in
     # BinnedScene.overflow_padded (callers re-plan on overflow)
@@ -658,35 +668,9 @@ def plan_reduce_capacity_from_table(tab: FrameCullTable, proj, width, height,
     don't fit at runtime are counted into topology overflow (re-plan
     contract), so a tight slack is safe."""
     from .segreduce import plan_rows
-    ts = cfg.tile_size
-    nx, ny = width // ts, height // ts
-    tx0, tx1 = np.asarray(tab.tx0), np.asarray(tab.tx1)
-    ty0, ty1 = np.asarray(tab.ty0), np.asarray(tab.ty1)
-    valid = np.asarray(tab.valid)
-    offset, stride = band
-    if stride != 1:
-        lny = ny // stride
-        ly0 = -(-(ty0 - offset) // stride)
-        ly1 = (ty1 - offset) // stride
-        valid = valid & (ly1 >= ly0) & (ly1 >= 0) & (ly0 <= lny - 1)
-        ty0 = np.clip(ly0, 0, lny - 1)
-        ty1 = np.clip(ly1, 0, lny - 1)
-    counts = np.where(valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
-    total = int(counts.sum())
-    rect_w = (tx1 - tx0 + 1)
-    pg = np.repeat(np.arange(counts.shape[0]), counts)
-    offs = np.cumsum(counts) - counts
-    j = np.arange(total) - np.repeat(offs, counts)
-    tile_x = tx0[pg] + j % rect_w[pg]
-    tile_y = ty0[pg] + j // rect_w[pg]
-    cs = [np.asarray(c) for c in tab.cs]
-    v9 = np.stack([np.asarray(c) for c in tab.v], axis=1)
-    keep = np.asarray(_pair_ellipsoid_cull(
-        tile_x, tile_y * stride + offset,
-        cs[0][pg], cs[1][pg], cs[2][pg], v9[pg],
-        float(np.asarray(proj)[0, 0]), float(np.asarray(proj)[1, 1]),
-        width, height, cfg.tile_size))
-    survivors = int(keep.sum())
+    _, per_tile, _, _ = _host_expand_cull(tab, proj, width, height, cfg,
+                                          band)
+    survivors = int(per_tile.sum())
     # finer 1.1x bucket than the pipeline shapes: the reduce gather pays a
     # hard ~11.6 ns per row (PROFILE section 1), and the 1.25x grid was
     # measured to quantize the live-compaction win away entirely (round-4

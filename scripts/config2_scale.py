@@ -184,7 +184,14 @@ print(f"fwd+bwd (topology held): {best_tb*1e3:.1f} ms/frame  "
       f"[+ bind {bind_s*1e3:.0f} ms per refresh window]", flush=True)
 
 # Trainer-driven banded training step (r2 verdict: "Trainer only supports
-# the unbanded path — config[2]-scale training can't use the Trainer")
+# the unbanded path — config[2]-scale training can't use the Trainer").
+# Free this script's copy of the held topologies first: the Trainer binds
+# its own, and at 5M two copies + Adam moments (2x every param group,
+# ~2.6 GB) exceeded HBM (ResourceExhausted, first 052 run).
+import gc
+r._bound = None
+del topos, rays_bands
+gc.collect()
 from gvrt_tpu.train import TrainConfig, Trainer
 
 tc = TrainConfig(total_steps=10, refresh_every=10)
