@@ -67,7 +67,10 @@ def _bwd(cfg, model, g):
     u = [jnp.exp(-slt[i]) for i in range(3)]     # inv_scales columns
     qw, qx, qy, qz = qt[0], qt[1], qt[2], qt[3]
     qn2 = qw * qw + qx * qx + qy * qy + qz * qz
-    qinv = jax.lax.rsqrt(qn2)
+    # 1/sqrt, NOT lax.rsqrt: TPU rsqrt is an approximation (~2^-14), and
+    # normalize_quat's forward uses exact division — the mismatch showed as
+    # ~5e-4-relative quat/means grad deviations in the on-chip suite
+    qinv = 1.0 / jnp.sqrt(qn2)
     w, x, y, z = qw * qinv, qx * qinv, qy * qinv, qz * qinv
     rot = [1.0 - 2.0 * (y * y + z * z), 2.0 * (x * y - w * z),
            2.0 * (x * z + w * y),

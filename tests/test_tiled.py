@@ -168,7 +168,10 @@ def test_bound_topology_replay_matches_render():
                                np.asarray(out_ref["depth"]), atol=3e-4)
 
     # gradients through the bound path equal gradients through the full
-    # pipeline (no gradient flows through the topology)
+    # pipeline (no gradient flows through the topology).  The bound path's
+    # parameter-layer backward is the hand-derived 1D VJP (rows_vjp.py),
+    # the full path's is autodiff — identical math, different float
+    # ordering, so the bar is float-level, not bitwise
     def loss_bound(m):
         return jnp.mean(r.render_bound(m)["rgb"])
 
@@ -180,7 +183,9 @@ def test_bound_topology_replay_matches_render():
     for field in ("means", "scales_log", "quats", "opacity_logit", "sh_dc"):
         a = np.asarray(getattr(g_f, field))
         b = np.asarray(getattr(g_b, field))
-        np.testing.assert_allclose(b, a, atol=1e-7, err_msg=field)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-6,
+                                   err_msg=field)
 
     # a slightly moved model still renders finite, close-to-fresh images
     # through the stale topology (the K-step refresh contract)
