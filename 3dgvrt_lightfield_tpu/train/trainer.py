@@ -45,20 +45,32 @@ class TrainConfig:
     #: banded (n_bands > 1) training: rebuild the held per-band topologies
     #: every N steps (the bench's K-step staleness contract)
     refresh_every: int = 10
+    #: "adam" | "adafactor".  Adafactor factors the second moment, cutting
+    #: optimizer state from 2x to ~1x+eps of the parameter bytes — at
+    #: config[2] scale (5M gaussians) Adam's moments alone are ~2.7 GB and
+    #: pushed the banded train step past HBM (spool jobs 052/061)
+    optimizer: str = "adam"
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
-    """Per-parameter-group Adam via optax.multi_transform."""
+    """Per-parameter-group Adam (or Adafactor at scale) via multi_transform."""
     means_sched = optax.exponential_decay(
         tc.lr_means * tc.scene_extent, tc.total_steps,
         tc.lr_means_final_scale)
+    if tc.optimizer == "adafactor":
+        def opt(lr):
+            return optax.adafactor(learning_rate=lr,
+                                   multiply_by_parameter_scale=False)
+    else:
+        def opt(lr):
+            return optax.adam(lr, eps=1e-15)
     txs = {
-        "means": optax.adam(means_sched, eps=1e-15),
-        "scales_log": optax.adam(tc.lr_scales, eps=1e-15),
-        "quats": optax.adam(tc.lr_quats, eps=1e-15),
-        "opacity_logit": optax.adam(tc.lr_opacity, eps=1e-15),
-        "sh_dc": optax.adam(tc.lr_sh_dc, eps=1e-15),
-        "sh_rest": optax.adam(tc.lr_sh_rest, eps=1e-15),
+        "means": opt(means_sched),
+        "scales_log": opt(tc.lr_scales),
+        "quats": opt(tc.lr_quats),
+        "opacity_logit": opt(tc.lr_opacity),
+        "sh_dc": opt(tc.lr_sh_dc),
+        "sh_rest": opt(tc.lr_sh_rest),
     }
     labels = GaussianModel(
         means="means", scales_log="scales_log", quats="quats",
@@ -193,7 +205,10 @@ class Trainer:
             model = optax.apply_updates(model, updates)
             return (model, opt_state), loss
 
-        return jax.jit(step)
+        # donate the (params, moments) buffers: XLA reuses them for the
+        # outputs, halving the step's parameter-side peak — decisive at
+        # config[2] scale where params+moments are ~4 GB
+        return jax.jit(step, donate_argnums=(0,))
 
     def step(self, state, cams, targets):
         if self.n_bands > 1:

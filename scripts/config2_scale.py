@@ -194,7 +194,8 @@ del topos, rays_bands
 gc.collect()
 from gvrt_tpu.train import TrainConfig, Trainer
 
-tc = TrainConfig(total_steps=10, refresh_every=10)
+tc = TrainConfig(total_steps=10, refresh_every=10,
+                 optimizer="adafactor")
 trainer = Trainer(W, H, cfg, tc, capacity=(cap, cap_pad), n_bands=BANDS)
 state = trainer.init(model)
 t0 = time.time()
