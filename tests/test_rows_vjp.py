@@ -2,7 +2,16 @@
 
 rows64_from_model's backward must reproduce jax.vjp of the unfused
 activate() + param_rows chain on every parameter group — including the
-quaternion normalization chain and the SH reorder."""
+quaternion normalization chain and the SH reorder.
+
+Tolerances: CPU 2e-6 (max-normalized).  On the chip the quaternion
+chain's +/- term cancellation is ordering-sensitive (XLA CPU fuses FMAs,
+the TPU VPU evaluates the two implementations' orders differently):
+measured ~5e-4 RELATIVE on ~2% of near-cancelling elements, tiny
+absolute — bounded at 1e-4 max-normalized (same class as the documented
+on-chip bound in test_param_grads.test_binning_grads_match_brute_force)."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -35,11 +44,12 @@ def test_rows_vjp_matches_autodiff():
                                rtol=1e-6)
     gp = jax.grad(plain)(model)
     gf = jax.grad(fused)(model)
+    atol = 1e-4 if os.environ.get("GVRT_TEST_TPU") else 2e-6
     for name in ("means", "scales_log", "quats", "opacity_logit", "sh_dc",
                  "sh_rest"):
         a, b = np.asarray(getattr(gf, name)), np.asarray(getattr(gp, name))
         scale = np.abs(b).max() + 1e-12
-        np.testing.assert_allclose(a / scale, b / scale, atol=2e-6,
+        np.testing.assert_allclose(a / scale, b / scale, atol=atol,
                                    err_msg=name)
 
 

@@ -180,11 +180,14 @@ def test_bound_topology_replay_matches_render():
 
     g_b = jax.grad(loss_bound)(model)
     g_f = jax.grad(loss_full)(model)
+    # on-chip: quaternion-chain cancellation is ordering-sensitive between
+    # the hand VJP and autodiff (see test_rows_vjp) -> 1e-4 normalized
+    atol = 1e-4 if os.environ.get("GVRT_TEST_TPU") else 2e-6
     for field in ("means", "scales_log", "quats", "opacity_logit", "sh_dc"):
         a = np.asarray(getattr(g_f, field))
         b = np.asarray(getattr(g_b, field))
         scale = np.abs(a).max() + 1e-12
-        np.testing.assert_allclose(b / scale, a / scale, atol=2e-6,
+        np.testing.assert_allclose(b / scale, a / scale, atol=atol,
                                    err_msg=field)
 
     # a slightly moved model still renders finite, close-to-fresh images
