@@ -109,10 +109,14 @@ def _bwd_kernel(ct_ref, cl_ref, cs_ref, rays_ref, chunk_ref, tin_ref,
         bar_chunk_ref[0] = bc
         bar_t_ref[0, 0, :] = bt[0, :]
 
-    # real-but-saturated chunks must emit zero grads; dead trailing chunks
-    # write NOTHING (their out block aliases the last real chunk, which later
-    # writes/flushes the true values)
-    @pl.when(real & jnp.logical_not(alive))
+    # real-but-saturated chunks emit zero grads; dead trailing chunks ALSO
+    # write zeros to their own blocks — bar_chunks must be fully defined:
+    # the segreduce backward's clamped dead-row gather reads the last
+    # chunk's rows, and uninitialized memory there surfaced as NaN
+    # gradients on CPU interpret (0 x NaN = NaN in the 0/1-selection
+    # matmul).  The extra dead-region writes are a ~36 MB stream at bench
+    # scale — noise next to the kernel.
+    @pl.when(jnp.logical_not(alive))
     def _():
         bar_chunk_ref[0] = jnp.zeros_like(bar_chunk_ref[0])
 
@@ -211,8 +215,11 @@ def _render_bwd(cfg, interpret, res, bar_acc):
         ],
         out_specs=(
             pl.BlockSpec((1, 8, r), lambda c, ct, cl, cs: (ct[rev(c)], 0, 0)),
+            # identity map (NOT the chunk_src alias): every chunk — dead
+            # trailing ones included — writes its own bar block, so the
+            # whole cotangent buffer is defined memory (see _bwd_kernel)
             pl.BlockSpec((1, g, 64),
-                         lambda c, ct, cl, cs: (cs[rev(c)], 0, 0)),
+                         lambda c, ct, cl, cs: (rev(c), 0, 0)),
         ),
     )
     _, bar_chunks = pl.pallas_call(
