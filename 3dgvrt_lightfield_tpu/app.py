@@ -249,7 +249,21 @@ def cmd_train(args):
     tc = TrainConfig(total_steps=args.steps)
     if args.bands:
         # garden-scale path: banded bounded-memory training, one camera per
-        # step, held per-band topologies (tc.refresh_every cadence)
+        # step, held per-band topologies (tc.refresh_every cadence).
+        # Dims come from the CAMERAS, not --width/--height: pose files may
+        # carry their own resolution, and bind()'s rays are built from the
+        # camera's dims — a mismatch would trip the BandedRenderer assert
+        # (or mismatch cull tables vs ray shapes) deep in the pipeline.
+        dims = {(c.width, c.height) for c in cams}
+        assert len(dims) == 1, (
+            f"banded training needs one camera resolution, got {dims}; "
+            "split the pose file per resolution")
+        (bw, bh), = dims
+        if (bw, bh) != (args.width, args.height):
+            print(f"train --bands: using camera resolution {bw}x{bh} "
+                  f"(pose file) over --width/--height "
+                  f"{args.width}x{args.height}")
+            args.width, args.height = bw, bh
         from .render.banded import resolve_bands_common
         n_bands = resolve_bands_common([c.height for c in cams], args.bands,
                                        DEFAULT_CONFIG)

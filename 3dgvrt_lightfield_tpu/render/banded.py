@@ -183,10 +183,7 @@ class BandedRenderer:
                                              self.cfg, slack=slack)
         return self.capacity
 
-    def bind(self, model: GaussianModel, camera):
-        """Build + hold all bands' topologies for this (model, camera)."""
-        if self.capacity is None:
-            self.plan(model, camera)
+    def _build_topos(self, model: GaussianModel, camera):
         cap, cap_pad = self.capacity
         act = model.activate()
         w2c, proj = _camera_mats(camera)
@@ -197,7 +194,26 @@ class BandedRenderer:
                                          row_offset=off,
                                          row_stride=self.n_bands)
                  for off in range(self.n_bands)]
-        topos = jax.tree.map(lambda *xs: jnp.stack(xs), *topos)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *topos)
+
+    def bind(self, model: GaussianModel, camera):
+        """Build + hold all bands' topologies for this (model, camera).
+
+        Overflow in ANY band (capacity outgrown by parameter drift over a
+        long run) triggers an eager re-plan + rebuild, mirroring
+        TiledRenderer.bind — a truncated pair list would otherwise silently
+        degrade every gradient until the next plan."""
+        if self.capacity is None:
+            self.plan(model, camera)
+        topos = self._build_topos(model, camera)
+        total_overflow = topos.overflow.sum()
+        if (not isinstance(total_overflow, jax.core.Tracer)
+                and int(total_overflow) > 0):
+            cap0 = self.capacity
+            self.plan(model, camera)
+            self.capacity = (max(cap0[0], self.capacity[0]),
+                             max(cap0[1], self.capacity[1]))
+            topos = self._build_topos(model, camera)
         self._bound = (topos, band_rays(camera, self.cfg, self.n_bands))
         return topos
 

@@ -96,6 +96,16 @@ def segment_reduce(bar_pre: jnp.ndarray, red: ReducePlan, n_groups: int,
     build_reduce_plan), so the 0/1 selection weights them by exactly zero
     — as long as their values are FINITE (the clamped gather guarantees a
     real cotangent row, never uninitialized memory).
+
+    DEFINEDNESS CONTRACT: the output is fully defined only when the plan's
+    rows all fit (red_overflow == 0 from build_reduce_plan).  When a
+    caller-tightened cap_r overflowed, groups whose blocks fall entirely
+    past the grid are never written and their output rows are UNINITIALIZED
+    device memory — not merely truncated sums.  Every consumer must honor
+    the eager overflow>0 re-plan contract (binning folds red_overflow into
+    topology overflow; TiledRenderer/BandedRenderer/bench re-plan before
+    using gradients).  A jitted caller that ignores overflow consumes
+    garbage silently — check it.
     """
     cap_r, c = bar_pre.shape
     nb = cap_r // GROUP

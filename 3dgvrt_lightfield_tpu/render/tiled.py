@@ -158,10 +158,14 @@ class TiledRenderer:
         # called eagerly, re-plan for this camera and re-render once
         if (not isinstance(out["overflow"], jax.core.Tracer)
                 and int(out["overflow"]) > 0):
-            cap0 = self.capacity
+            cap0, cap_r0 = self.capacity, self.capacity_reduce
             self.plan(model, [camera])
             self.capacity = (max(cap0[0], self.capacity[0]),
                              max(cap0[1], self.capacity[1]))
+            # max-merge like the pair capacities: a single-camera re-plan
+            # must not shrink a multi-camera-planned reduce-row budget (other
+            # cameras would overflow it and re-plan/recompile in a loop)
+            self.capacity_reduce = max(cap_r0, self.capacity_reduce)
             out = _render_pipeline(model.activate(), w2c, proj,
                                    self._rays(camera), self.width,
                                    self.height, self.cfg, *self.capacity,
@@ -180,10 +184,11 @@ class TiledRenderer:
                             capacity_reduce=self.capacity_reduce)
         if (not isinstance(topo.overflow, jax.core.Tracer)
                 and int(topo.overflow) > 0):
-            cap0 = self.capacity
+            cap0, cap_r0 = self.capacity, self.capacity_reduce
             self.plan(model, [camera])
             self.capacity = (max(cap0[0], self.capacity[0]),
                              max(cap0[1], self.capacity[1]))
+            self.capacity_reduce = max(cap_r0, self.capacity_reduce)
             topo = bin_topology(model.activate(), w2c, proj, self.width,
                                 self.height, self.cfg, *self.capacity,
                                 capacity_reduce=self.capacity_reduce)

@@ -131,6 +131,7 @@ class Trainer:
                 impl=impl)
             self._bind_age = None
             self._bind_key = None
+            self.last_overflow = None
             self._step = self._build_banded_step()
         else:
             self._step = self._build_step()
@@ -192,18 +193,19 @@ class Trainer:
             model, opt_state = state
 
             def loss_fn(m):
-                img, _ = _render_banded_bound(m, topos,
-                                              rays_bands, width, height,
-                                              cfg, impl)
+                img, ovf = _render_banded_bound(m, topos,
+                                                rays_bands, width, height,
+                                                cfg, impl)
                 rgb = img[..., 0:3]
                 l1 = jnp.mean(jnp.abs(rgb - target))
                 l2 = jnp.mean((rgb - target) ** 2)
-                return tc.l1_weight * l1 + tc.l2_weight * l2
+                return tc.l1_weight * l1 + tc.l2_weight * l2, ovf
 
-            loss, grads = jax.value_and_grad(loss_fn)(model)
+            (loss, ovf), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(model)
             updates, opt_state = optimizer.update(grads, opt_state, model)
             model = optax.apply_updates(model, updates)
-            return (model, opt_state), loss
+            return (model, opt_state), (loss, ovf)
 
         # donate the (params, moments) buffers: XLA reuses them for the
         # outputs, halving the step's parameter-side peak — decisive at
@@ -213,15 +215,31 @@ class Trainer:
     def step(self, state, cams, targets):
         if self.n_bands > 1:
             camera, target = cams, targets  # (state, Camera, (H, W, 3))
+            # VALUE key, never id(): a GC-recycled id could silently reuse
+            # another camera's held topologies/rays (wrong gradients), and a
+            # fresh equal-valued Camera per step would rebind every step
             key = camera.content_key() if hasattr(camera, "content_key") \
-                else id(camera)
+                else (np.asarray(camera.view_inverse).tobytes(),
+                      np.asarray(camera.proj_inverse).tobytes(),
+                      camera.width, camera.height)
             stale = (self._bind_age is None or key != self._bind_key
                      or self._bind_age >= self.tc.refresh_every)
             if stale:
+                # rebind is already a host sync point: check the held
+                # window's overflow (surfaced by the banded step) and force
+                # a re-plan if pairs were truncated — bind() re-plans
+                # eagerly on its own bind-time overflow either way
+                if (getattr(self, "last_overflow", None) is not None
+                        and int(self.last_overflow) > 0):
+                    self._banded.capacity = None  # force fresh plan
                 self._banded.bind(state[0], camera)
                 self._bind_age, self._bind_key = 0, key
             self._bind_age += 1
             topos, rays_bands = self._banded._bound
-            return self._step(state, topos, rays_bands,
-                              jnp.asarray(target))
+            state, (loss, ovf) = self._step(state, topos, rays_bands,
+                                            jnp.asarray(target))
+            #: device scalar, no sync: pairs truncated by the held window
+            #: (re-checked at the next rebind; callers may int() it anytime)
+            self.last_overflow = ovf
+            return state, loss
         return self._step(state, cams, targets)

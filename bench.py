@@ -67,16 +67,20 @@ FROZEN_ROOFLINE_RAYS_PER_S = 21.0e6
 def roofline_rays_per_s(width, height, cap, cap_pad, rays_per_tile, chain_k):
     """Speed-of-light rays/s for THIS scene+protocol on one v5e chip.
 
-    Measured hardware rates (scripts/tpu_microbench.py): VPU 2.02 Tflop/s
-    f32, transcendentals ~0.5 T/s, HBM 587 GB/s, random rows 5.4 ns gather /
-    3.2 ns int scatter.  Counted work per (gaussian, ray) pair eval of the
-    v2 chunk math: ~88 VPU flops + 4 transcendentals.  Padding slots compute
-    too, so pair evals = cap_pad * R.  Topology work (expansion gathers +
-    sort + placement) is amortized over the chain_k-step refresh window,
-    exactly like the measured protocol.
+    Measured hardware rates (scripts/tpu_microbench.py + the round-4 E1/E4
+    chained re-measurement, PROFILE.md section 1): VPU 2.02 Tflop/s f32,
+    transcendentals ~0.5 T/s, HBM 587 GB/s, random rows 11.6 ns gather
+    (chained-dependent; the early 5.4/2.3 ns isolated figures do NOT
+    reproduce under real pipelines and were retired) / 3.2 ns int scatter.
+    Counted work per (gaussian, ray) pair eval of the v2 chunk math:
+    ~88 VPU flops + 4 transcendentals.  Padding slots compute too, so pair
+    evals = cap_pad * R.  Topology work (expansion gathers + sort +
+    placement) is amortized over the chain_k-step refresh window, exactly
+    like the measured protocol.  Informational only — the scoring
+    denominator is FROZEN_ROOFLINE_RAYS_PER_S.
     """
     vpu, transc, hbm = 2.02e12, 0.5e12, 587e9
-    g_row, s_row = 5.4e-9, 3.2e-9
+    g_row, s_row = 11.6e-9, 3.2e-9
     pair_evals = cap_pad * rays_per_tile
     t_fwd = pair_evals * (88 / vpu + 4 / transc)
     t_bwd = 2.0 * t_fwd + 2 * cap_pad * 64 * 4 / hbm   # recompute + bar HBM
