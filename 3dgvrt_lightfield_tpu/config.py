@@ -92,7 +92,29 @@ class RenderConfig:
     ray_chunk: int = 4096
     #: In-chunk prefix-transmittance implementation: True = strict-lower-
     #: triangular MXU matmul, False = log-space cumsum over sublanes (VPU).
+    #: (Only meaningful with transmittance_prod=False.)
     prefix_matmul: bool = False
+    #: Track in-chunk transmittance as a direct product of (1 - alpha)
+    #: (exclusive shift-tree cumprod) instead of exp(cumsum(log1p(-alpha))):
+    #: removes 2 of the kernel's 4 per-pair transcendentals in forward AND
+    #: the backward recompute.  f32 products of <= G terms in [0, 1] round
+    #: to ~G*2^-24 — tighter than the exp(sum(log1p)) chain it replaces.
+    transmittance_prod: bool = False
+    #: Backward kernel's 16 per-pair-row lane reductions (bar_geom: sums
+    #: over the ray axis) as (G, R) x (R, k) MXU contractions instead of
+    #: VPU cross-lane sums.
+    geom_matmul: bool = False
+    #: Axis-0 (Gaussian/sublane) reductions in the kernels as ones-row MXU
+    #: contractions instead of VPU sublane sums.
+    fwd_sum_matmul: bool = False
+    #: Emit gradients w.r.t. the per-tile ray blocks (origins, directions,
+    #: SH basis rows) from the backward kernel.  Off by default: the
+    #: training paths treat rays as constants, and the emission costs extra
+    #: backward work + an O(num_tiles * 24 * R) output.  WHEN OFF,
+    #: differentiating a render w.r.t. anything flowing through the rays
+    #: SILENTLY YIELDS ZEROS (documented at render/pallas_vjp._render_bwd);
+    #: turn this on for pose/camera optimization.
+    ray_gradients: bool = False
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -29,8 +29,12 @@ through the sorted, early-terminated composite.  Design:
     turns them into per-Gaussian gradients scatter-free, so
     `jax.grad(loss)(model)` works end-to-end through `render_image_tiled`.
 
-Camera-ray gradients are not yet emitted (bar_rays = 0): pose optimization is
-out of scope for the training loop (the reference has no trainable cameras).
+Camera-ray gradients are emitted when cfg.ray_gradients is set: the backward
+kernel accumulates per-tile (24, R) ray cotangents (origins, directions, SH
+basis rows) alongside the parameter blocks, enabling pose/camera optimization
+through `tile_rays` (tests/test_ray_grads.py).  With the flag OFF (default —
+the training paths treat rays as constants and skip the extra backward work),
+bar_rays is SILENT ZEROS; see the note in `_render_bwd`.
 """
 
 from __future__ import annotations
@@ -83,8 +87,9 @@ def _fwd_kernel(ct_ref, cf_ref, cs_ref, rays_ref, chunk_ref, acc_ref,
 
 
 def _bwd_kernel(ct_ref, cl_ref, cs_ref, rays_ref, chunk_ref, tin_ref,
-                bar_acc_ref, bar_t_ref, bar_chunk_ref, *, cfg: RenderConfig,
-                num_chunks: int, num_tiles: int):
+                bar_acc_ref, bar_t_ref, bar_chunk_ref, *opt_refs,
+                cfg: RenderConfig, num_chunks: int, num_tiles: int):
+    bar_rays_ref = opt_refs[0] if opt_refs else None
     c = pl.program_id(0)
     rc = num_chunks - 1 - c
 
@@ -92,6 +97,11 @@ def _bwd_kernel(ct_ref, cl_ref, cs_ref, rays_ref, chunk_ref, tin_ref,
     @pl.when(cl_ref[rc] == 1)
     def _():
         bar_t_ref[0, 0, :] = bar_acc_ref[0, ACC_T, :]
+        if cfg.ray_gradients:
+            # every tile that owns >= 1 chunk gets its ray-cotangent block
+            # defined here (dead trailing chunks define the dummy block);
+            # chunkless tiles are masked outside (_render_bwd)
+            bar_rays_ref[0] = jnp.zeros_like(bar_rays_ref[0])
 
     t_in = tin_ref[rc % TIN_PACK, :][None, :]
     real = ct_ref[rc] < num_tiles
@@ -102,12 +112,14 @@ def _bwd_kernel(ct_ref, cl_ref, cs_ref, rays_ref, chunk_ref, tin_ref,
         # hand-derived VJP (tile_math.chunk_core_bwd): one shared forward
         # recompute, full-lane intermediates; cotangents are the carried
         # d/d t_out plus the additive rgb/depth heads (hit counts: no grad)
-        bc, bt = chunk_core_bwd(rays_ref[0], chunk_ref[0], t_in,
-                                bar_t_ref[0, 0, :][None, :],
-                                bar_acc_ref[0, 0:3, :],
-                                bar_acc_ref[0, 3:4, :], cfg)
-        bar_chunk_ref[0] = bc
-        bar_t_ref[0, 0, :] = bt[0, :]
+        out = chunk_core_bwd(rays_ref[0], chunk_ref[0], t_in,
+                             bar_t_ref[0, 0, :][None, :],
+                             bar_acc_ref[0, 0:3, :],
+                             bar_acc_ref[0, 3:4, :], cfg)
+        bar_chunk_ref[0] = out[0]
+        bar_t_ref[0, 0, :] = out[1][0, :]
+        if cfg.ray_gradients:
+            bar_rays_ref[0] += out[2]
 
     # real-but-saturated chunks emit zero grads; dead trailing chunks ALSO
     # write zeros to their own blocks — bar_chunks must be fully defined:
@@ -201,6 +213,26 @@ def _render_bwd(cfg, interpret, res, bar_acc):
         jnp.ones((1,), jnp.int32)])
 
     rev = lambda c: num_chunks - 1 - c
+    out_specs = [
+        pl.BlockSpec((1, 8, r), lambda c, ct, cl, cs: (ct[rev(c)], 0, 0)),
+        # identity map (NOT the chunk_src alias): every chunk — dead
+        # trailing ones included — writes its own bar block, so the
+        # whole cotangent buffer is defined memory (see _bwd_kernel)
+        pl.BlockSpec((1, g, 64),
+                     lambda c, ct, cl, cs: (rev(c), 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((num_tiles + 1, 8, r), jnp.float32),
+        jax.ShapeDtypeStruct((num_chunks, g, 64), jnp.float32),
+    ]
+    if cfg.ray_gradients:
+        # per-tile ray cotangents, accumulated across the tile's chunks with
+        # the same VMEM-resident revisiting as the bar_t carry
+        out_specs.append(pl.BlockSpec(
+            (1, RAY_ROWS, r), lambda c, ct, cl, cs: (ct[rev(c)], 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((num_tiles + 1, RAY_ROWS, r), jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_chunks,),
@@ -213,29 +245,33 @@ def _render_bwd(cfg, interpret, res, bar_acc):
                          lambda c, ct, cl, cs: (rev(c) // TIN_PACK, 0)),
             pl.BlockSpec((1, 8, r), lambda c, ct, cl, cs: (ct[rev(c)], 0, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 8, r), lambda c, ct, cl, cs: (ct[rev(c)], 0, 0)),
-            # identity map (NOT the chunk_src alias): every chunk — dead
-            # trailing ones included — writes its own bar block, so the
-            # whole cotangent buffer is defined memory (see _bwd_kernel)
-            pl.BlockSpec((1, g, 64),
-                         lambda c, ct, cl, cs: (rev(c), 0, 0)),
-        ),
+        out_specs=tuple(out_specs),
     )
-    _, bar_chunks = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg, num_chunks=num_chunks,
                           num_tiles=num_tiles),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles + 1, 8, r), jnp.float32),
-            jax.ShapeDtypeStruct((num_chunks, g, 64), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(chunk_tile, chunk_last, chunk_src, rays, chunks, tin, bar_acc)
+    bar_chunks = out[1]
 
     int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return (bar_chunks, jnp.zeros_like(rays[:-1]),
-            int_zero(chunk_tile), int_zero(chunk_tile))
+    if cfg.ray_gradients:
+        # tiles that own no chunk were never visited: their blocks are
+        # undefined memory AND their true ray gradient is exactly zero
+        visited = jnp.zeros((num_tiles + 1,), jnp.int32).at[chunk_tile].set(
+            1, mode="drop")
+        bar_rays = jnp.where(visited[:num_tiles, None, None] == 1,
+                             out[2][:num_tiles], 0.0)
+    else:
+        # DOCUMENTED silent-zero: with cfg.ray_gradients=False (the
+        # default), differentiating w.r.t. anything flowing through `rays`
+        # yields zeros — rays are constants in every training path.  Set
+        # ray_gradients=True for pose/camera optimization (tested in
+        # tests/test_ray_grads.py).
+        bar_rays = jnp.zeros_like(rays[:-1])
+    return (bar_chunks, bar_rays, int_zero(chunk_tile), int_zero(chunk_tile))
 
 
 render_tiles_ad.defvjp(_render_fwd, _render_bwd)

@@ -100,6 +100,68 @@ def _exclusive_cumsum_g(la: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
     return x - la
 
 
+def _exclusive_cumprod_g(u: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix product over the Gaussian (sublane) axis of (G, R).
+
+    Shift the sequence down by one (prepend 1) and run the same Hillis-
+    Steele shift tree as `_exclusive_cumsum_g`, with multiply: the inclusive
+    prefix of the shifted sequence IS the exclusive prefix of the original.
+    """
+    g, r = u.shape
+    x = jnp.concatenate([jnp.ones((1, r), u.dtype), u[:g - 1]], axis=0)
+    shift = 1
+    while shift < g:
+        top = jnp.ones((shift, r), u.dtype)
+        x = x * jnp.concatenate([top, x[:g - shift]], axis=0)
+        shift *= 2
+    return x
+
+
+def _prod_g(x: jnp.ndarray) -> jnp.ndarray:
+    """Product over the Gaussian (sublane) axis: (G, R) -> (1, R).
+
+    Static halving tree (pads to a power of two with ones): predictable
+    Mosaic lowering everywhere, no dependence on mul-reduce support.
+    """
+    g, r = x.shape
+    p = 1
+    while p < g:
+        p *= 2
+    if p != g:
+        x = jnp.concatenate([x, jnp.ones((p - g, r), x.dtype)], axis=0)
+    while x.shape[0] > 1:
+        h = x.shape[0] // 2
+        x = x[:h] * x[h:]
+    return x
+
+
+def _sum_g(x: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """Sum over the Gaussian (sublane) axis: (G, R) -> (1, R).
+
+    fwd_sum_matmul routes it through a ones-row MXU contraction at HIGHEST
+    precision (bf16 1-pass would round every summand to bf16 — image-level
+    error); otherwise a plain VPU sublane sum.
+    """
+    if not cfg.fwd_sum_matmul:
+        return jnp.sum(x, axis=0, keepdims=True)
+    ones = jnp.ones((1, x.shape[0]), x.dtype)
+    return jnp.dot(ones, x, preferred_element_type=x.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _dot_lanes(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(G, R) x (K, R) -> (G, K) contraction over the ray (lane) axis.
+
+    Written as dot_general so the (K, R) operand keeps its natural
+    lane-major layout (no transpose relayout); HIGHEST precision — these
+    replace exact f32 adds in gradient accumulation.
+    """
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=a.dtype)
+
+
 def chunk_core(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
                cfg: RenderConfig):
     """Evaluate one Gaussian chunk against a tile's rays.
@@ -160,11 +222,16 @@ def chunk_core(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
               & (dot_og < 0.0) & (t >= tmin) & (t <= tmax))
     alpha_eff = jnp.where(accept, alpha, 0.0)
 
-    # exclusive in-chunk prefix of log(1-alpha) over the G axis
-    la = jnp.log1p(-alpha_eff)                         # (G, R)
-    cums_excl = _exclusive_cumsum_g(la, cfg)
-
-    t_before = t_in * jnp.exp(cums_excl)               # (G, R)
+    # exclusive in-chunk prefix transmittance over the G axis: direct
+    # (1 - alpha) product (transmittance_prod, no transcendentals) or the
+    # log-space cumsum formulation
+    if cfg.transmittance_prod:
+        u = 1.0 - alpha_eff                            # (G, R)
+        t_before = t_in * _exclusive_cumprod_g(u)
+    else:
+        la = jnp.log1p(-alpha_eff)                     # (G, R)
+        cums_excl = _exclusive_cumsum_g(la, cfg)
+        t_before = t_in * jnp.exp(cums_excl)           # (G, R)
     active = t_before > cfg.min_transmittance
     w = alpha_eff * t_before * active
 
@@ -177,12 +244,15 @@ def chunk_core(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
         rad = jnp.dot(sh_c, basis16, precision=_SH_PRECISION,
                       preferred_element_type=f32) + 0.5
         rad = jnp.maximum(rad, 0.0)
-        out_rgb.append(jnp.sum(w * rad, axis=0, keepdims=True))    # (1, R)
+        out_rgb.append(_sum_g(w * rad, cfg))                       # (1, R)
 
-    depth_contrib = jnp.sum(w * t, axis=0, keepdims=True)
-    hits = jnp.sum((accept & active).astype(f32), axis=0, keepdims=True)
-    la_active = jnp.where(active, la, 0.0)
-    t_out = t_in * jnp.exp(jnp.sum(la_active, axis=0, keepdims=True))
+    depth_contrib = _sum_g(w * t, cfg)
+    hits = _sum_g((accept & active).astype(f32), cfg)
+    if cfg.transmittance_prod:
+        t_out = t_in * _prod_g(jnp.where(active, u, 1.0))
+    else:
+        la_active = jnp.where(active, la, 0.0)
+        t_out = t_in * jnp.exp(_sum_g(la_active, cfg))
     return t_out, jnp.concatenate(out_rgb, axis=0), depth_contrib, hits
 
 
@@ -199,7 +269,9 @@ def chunk_core_bwd(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
     builds from jax.vjp measured ~20%% slower).  Tie-breaking of min/max
     gates follows measure-zero conventions (<=, >=), not lax's split-the-tie.
 
-    Returns (bar_chunk (G, 64), bar_tin (1, R)).
+    Returns (bar_chunk (G, 64), bar_tin (1, R)); with cfg.ray_gradients a
+    third element bar_rays (24, R) — cotangents w.r.t. the tile's ray block
+    (o, d, two zero gate rows, 16 SH basis rows).
     """
     f32 = t_in.dtype
     o = [rays[j:j + 1, :] for j in range(3)]
@@ -232,25 +304,37 @@ def chunk_core_bwd(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
     accept = ((resp > cfg.hit_min_response) & (alpha > cfg.alpha_min)
               & (dot_og < 0.0) & (t >= tmin) & (t <= tmax))
     alpha_eff = jnp.where(accept, alpha, 0.0)
-    la = jnp.log1p(-alpha_eff)
-    cums_excl = _exclusive_cumsum_g(la, cfg)
-    ece = jnp.exp(cums_excl)
-    t_before = t_in * ece
-    active = t_before > cfg.min_transmittance
+    if cfg.transmittance_prod:
+        u = 1.0 - alpha_eff
+        prod_excl = _exclusive_cumprod_g(u)
+        t_before = t_in * prod_excl
+        active = t_before > cfg.min_transmittance
+        m_tot = _prod_g(jnp.where(active, u, 1.0))               # (1, R)
+    else:
+        la = jnp.log1p(-alpha_eff)
+        cums_excl = _exclusive_cumsum_g(la, cfg)
+        ece = jnp.exp(cums_excl)
+        t_before = t_in * ece
+        active = t_before > cfg.min_transmittance
+        la_active = jnp.where(active, la, 0.0)
+        s_la = jnp.sum(la_active, axis=0, keepdims=True)
+        e_s = jnp.exp(s_la)
     w = alpha_eff * t_before * active
     basis16 = rays[RAY_BASIS, :]
-    la_active = jnp.where(active, la, 0.0)
-    s_la = jnp.sum(la_active, axis=0, keepdims=True)
-    e_s = jnp.exp(s_la)
 
     # ---- reverse ----
-    # t_out = t_in * e_s
-    bar_tin = bar_tout * e_s                                     # (1, R)
-    bar_s = bar_tout * t_in * e_s                                # (1, R)
+    # t_out = t_in * m_tot (== t_in * e_s in the log formulation)
+    if cfg.transmittance_prod:
+        bar_tin = bar_tout * m_tot                               # (1, R)
+        bar_m = bar_tout * t_in                                  # (1, R)
+    else:
+        bar_tin = bar_tout * e_s                                 # (1, R)
+        bar_s = bar_tout * t_in * e_s                            # (1, R)
 
     # rgb_c = sum_g w * rad_c;  dep = sum_g w * t
     bar_w = bar_dep * t                                          # (G, R)
     bar_sh_cols = []
+    bar_pres = []
     for c in range(3):
         sh_c = chunk[:, CH_SH + 16 * c:CH_SH + 16 * (c + 1)]
         rad_pre = jnp.dot(sh_c, basis16, precision=_SH_PRECISION,
@@ -258,20 +342,38 @@ def chunk_core_bwd(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
         rad = jnp.maximum(rad_pre, 0.0)
         bar_w = bar_w + bar_rgb[c:c + 1, :] * rad
         bar_pre = jnp.where(rad_pre > 0.0, bar_rgb[c:c + 1, :] * w, 0.0)
-        bar_sh_cols.append(jnp.dot(bar_pre, basis16.T, precision=_SH_PRECISION,
-                                   preferred_element_type=f32))  # (G, 16)
+        if cfg.ray_gradients:
+            bar_pres.append(bar_pre)
+        # lane-contraction form: basis16 keeps its (16, R) layout, no
+        # transpose relayout (same math as dot(bar_pre, basis16.T))
+        bar_sh_cols.append(jax.lax.dot_general(
+            bar_pre, basis16, (((1,), (1,)), ((), ())),
+            precision=_SH_PRECISION,
+            preferred_element_type=f32))                         # (G, 16)
 
     bar_t = bar_dep * w                                          # (G, R)
     bar_ae = bar_w * t_before * active
     bar_tb = bar_w * alpha_eff * active
-    bar_ce = bar_tb * t_in * ece
-    bar_tin = bar_tin + jnp.sum(bar_tb * ece, axis=0, keepdims=True)
-
-    # ce_g = sum_{g'<g} la_{g'}  =>  bar_la_g += sum_{g''>g} bar_ce_{g''}
-    total_ce = jnp.sum(bar_ce, axis=0, keepdims=True)
-    bar_la = (total_ce - _exclusive_cumsum_g(bar_ce, cfg) - bar_ce
-              + jnp.where(active, bar_s, 0.0))
-    bar_ae = bar_ae - bar_la / (1.0 - alpha_eff)
+    if cfg.transmittance_prod:
+        # prod_excl_g = prod_{g'<g} u  =>  bar_u_g = (sum_{g''>g}
+        # bar_p * prod_excl)_g / u_g; the masked total product adds
+        # active * bar_m * m_tot / u_g.  u >= 1 - max_alpha > 0 always
+        # (padding rows have u == 1), so the division is benign — the log
+        # formulation divides by the same quantity.
+        bar_p = bar_tb * t_in                                    # (G, R)
+        bar_tin = bar_tin + _sum_g(bar_tb * prod_excl, cfg)
+        pp = bar_p * prod_excl
+        suffix_pp = _sum_g(pp, cfg) - _exclusive_cumsum_g(pp, cfg) - pp
+        bar_u = (suffix_pp + jnp.where(active, bar_m * m_tot, 0.0)) / u
+        bar_ae = bar_ae - bar_u
+    else:
+        bar_ce = bar_tb * t_in * ece
+        bar_tin = bar_tin + _sum_g(bar_tb * ece, cfg)
+        # ce_g = sum_{g'<g} la_{g'}  =>  bar_la_g += sum_{g''>g} bar_ce_{g''}
+        total_ce = _sum_g(bar_ce, cfg)
+        bar_la = (total_ce - _exclusive_cumsum_g(bar_ce, cfg) - bar_ce
+                  + jnp.where(active, bar_s, 0.0))
+        bar_ae = bar_ae - bar_la / (1.0 - alpha_eff)
     bar_alpha = jnp.where(accept, bar_ae, 0.0)
     notclamped = ra <= cfg.max_alpha
     bar_resp = jnp.where(notclamped, bar_alpha * density, 0.0)
@@ -300,18 +402,63 @@ def chunk_core_bwd(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
         bar_grdu[i] = bar_grdu[i] + 2.0 * grdu[i] * bar_n2
 
     # gro_i = sum_j m_{3i+j} o_j - b_i ; grdu_i = sum_j m_{3i+j} d_j
-    bar_geom = []                                                # 16 x (G, 1)
-    for i in range(3):
-        for j in range(3):
-            bar_geom.append(jnp.sum(bar_gro[i] * o[j] + bar_grdu[i] * d[j],
-                                    axis=1, keepdims=True))
-    for i in range(3):
-        bar_geom.append(-jnp.sum(bar_gro[i], axis=1, keepdims=True))
-    bar_geom.append(jnp.sum(bar_density, axis=1, keepdims=True))
     g = chunk.shape[0]
+    if cfg.geom_matmul:
+        # the 16 per-row ray-axis reductions as MXU lane contractions:
+        # p_i = bar_gro_i x [o | 1] gives the three o-products AND the b_i
+        # row sum in one (G, R) x (4, R) pass; q_i = bar_grdu_i x d
+        o4 = jnp.concatenate([o[0], o[1], o[2], jnp.ones_like(o[0])],
+                             axis=0)                             # (4, R)
+        d3 = jnp.concatenate([d[0], d[1], d[2]], axis=0)         # (3, R)
+        ones_r = jnp.ones((1, o[0].shape[1]), f32)
+        bar_geom = [None] * 13
+        for i in range(3):
+            p_i = _dot_lanes(bar_gro[i], o4)                     # (G, 4)
+            q_i = _dot_lanes(bar_grdu[i], d3)                    # (G, 3)
+            for j in range(3):
+                bar_geom[3 * i + j] = p_i[:, j:j + 1] + q_i[:, j:j + 1]
+            bar_geom[9 + i] = -p_i[:, 3:4]
+        bar_geom[12] = _dot_lanes(bar_density, ones_r)           # (G, 1)
+    else:
+        bar_geom = []                                            # 16 x (G, 1)
+        for i in range(3):
+            for j in range(3):
+                bar_geom.append(jnp.sum(bar_gro[i] * o[j]
+                                        + bar_grdu[i] * d[j],
+                                        axis=1, keepdims=True))
+        for i in range(3):
+            bar_geom.append(-jnp.sum(bar_gro[i], axis=1, keepdims=True))
+        bar_geom.append(jnp.sum(bar_density, axis=1, keepdims=True))
     bar_geom.append(jnp.zeros((g, 3), f32))
     bar_chunk = jnp.concatenate(bar_geom + bar_sh_cols, axis=1)  # (G, 64)
-    return bar_chunk, bar_tin
+
+    if not cfg.ray_gradients:
+        return bar_chunk, bar_tin
+
+    # ---- cotangents w.r.t. the (24, R) ray block ----
+    # o enters only gro (shared over G), d only grdu, the SH basis rows only
+    # the radiance matmuls; tmin/tmax are pure gates (zero a.e.).
+    bar_o_rows, bar_d_rows = [], []
+    for j in range(3):
+        tmp_o = (m[j] * bar_gro[0] + m[3 + j] * bar_gro[1]
+                 + m[6 + j] * bar_gro[2])
+        tmp_d = (m[j] * bar_grdu[0] + m[3 + j] * bar_grdu[1]
+                 + m[6 + j] * bar_grdu[2])
+        bar_o_rows.append(_sum_g(tmp_o, cfg))
+        bar_d_rows.append(_sum_g(tmp_d, cfg))
+    bar_basis = jnp.zeros_like(basis16)                          # (16, R)
+    for c in range(3):
+        sh_c = chunk[:, CH_SH + 16 * c:CH_SH + 16 * (c + 1)]
+        # (G, 16)^T x (G, R): contract the Gaussian axis on the MXU
+        bar_basis = bar_basis + jax.lax.dot_general(
+            sh_c, bar_pres[c], (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32)
+    r_lanes = o[0].shape[1]
+    bar_rays = jnp.concatenate(
+        bar_o_rows + bar_d_rows + [jnp.zeros((2, r_lanes), f32), bar_basis],
+        axis=0)                                                  # (24, R)
+    return bar_chunk, bar_tin, bar_rays
 
 
 def chunk_update(rays, chunk, acc, cfg: RenderConfig):

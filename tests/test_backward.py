@@ -146,13 +146,24 @@ def test_backward_with_deep_ray_stacks(saturated):
         assert gm[-20:].max() <= 1e-6 + 1e-3 * gm.max()
 
 
-def test_chunk_core_bwd_matches_jax_vjp():
+#: implementation-variant configs the hand VJP must stay exact under
+#: (cumprod transmittance, MXU geometry reductions, MXU sublane sums)
+_VARIANTS = [
+    {},
+    {"transmittance_prod": True},
+    {"geom_matmul": True, "fwd_sum_matmul": True},
+    {"transmittance_prod": True, "geom_matmul": True, "fwd_sum_matmul": True},
+]
+
+
+@pytest.mark.parametrize("variant", _VARIANTS)
+def test_chunk_core_bwd_matches_jax_vjp(variant):
     """The hand-derived per-chunk VJP must equal jax.vjp of chunk_core."""
     from gvrt_tpu.render.tile_math import (RAY_ROWS, chunk_core,
                                            chunk_core_bwd)
     from gvrt_tpu.render import binning
     from gvrt_tpu.render.tiled import _camera_mats
-    cfg = g3.DEFAULT_CONFIG
+    cfg = g3.DEFAULT_CONFIG.replace(**variant)
     # real binned chunks + rays (exercises padding rows and accept branches)
     model = _scene(200, seed=11)
     cam = g3.Camera.from_fovy(16, 16, 60.0, np.eye(4))
@@ -186,3 +197,118 @@ def test_chunk_core_bwd_matches_jax_vjp():
                                    np.asarray(bc_ref) / scale, atol=1e-5)
         np.testing.assert_allclose(np.asarray(bt), np.asarray(bt_ref),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("degree", [0, 1, 3, 5, 8])
+def test_chunk_core_bwd_degrees(degree):
+    """Hand VJP vs autodiff for every kernel-degree branch
+    (gaussianfunctions.glsl:18-57 <-> ops/kernels.py:27-108).
+
+    Degrees 0/1 divide by sqrt(gray_dist) in their grad: padding rows have
+    gray_dist == 0 exactly, where AUTODIFF produces 0 * inf = NaN while the
+    hand branch clamps.  So: (a) compare hand vs autodiff on live rows only,
+    (b) require the hand cotangents FINITE everywhere — including the
+    singular padded rows the clamp exists for.
+    """
+    from gvrt_tpu.render.tile_math import chunk_core, chunk_core_bwd
+    from gvrt_tpu.render import binning
+    from gvrt_tpu.render.tiled import _camera_mats
+    from gvrt_tpu.render.tile_math import CH_DENSITY
+    cfg = g3.DEFAULT_CONFIG.replace(kernel_degree=degree)
+    model = _scene(200, seed=11)
+    cam = g3.Camera.from_fovy(16, 16, 60.0, np.eye(4))
+    w2c, proj = _camera_mats(cam)
+    cap = binning.plan_capacity(model.activate(), w2c, proj, 16, 16, cfg)
+    b = binning.bin_gaussians(model.activate(), w2c, proj, 16, 16, cfg, *cap)
+    rays = binning.tile_rays(cam, cfg)
+    key = jax.random.key(degree)
+    checked = 0
+    for ci in range(min(3, b.chunks.shape[0])):
+        chunk = b.chunks[ci]
+        tile = int(b.chunk_tile[ci])
+        if tile >= rays.shape[0]:
+            continue
+        r = rays.shape[2]
+        k1, k2, k3, k4, key = jax.random.split(key, 5)
+        t_in = jax.random.uniform(k1, (1, r), minval=0.05, maxval=1.0)
+        bar_tout = jax.random.normal(k2, (1, r))
+        bar_rgb = jax.random.normal(k3, (3, r))
+        bar_dep = jax.random.normal(k4, (1, r))
+
+        def f(ch, ti):
+            return chunk_core(rays[tile], ch, ti, cfg)
+
+        _, vjp = jax.vjp(f, chunk, t_in)
+        bc_ref, bt_ref = vjp((bar_tout, bar_rgb, bar_dep, jnp.zeros((1, r))))
+        bc, bt = chunk_core_bwd(rays[tile], chunk, t_in, bar_tout, bar_rgb,
+                                bar_dep, cfg)
+        assert np.isfinite(np.asarray(bc)).all(), "hand VJP not finite"
+        assert np.isfinite(np.asarray(bt)).all()
+        live = np.asarray(chunk[:, CH_DENSITY]) > 0
+        a = np.asarray(bc_ref)[live]
+        h = np.asarray(bc)[live]
+        finite = np.isfinite(a)
+        assert finite.all(), "autodiff NaN on a LIVE row (not just padding)"
+        scale = float(np.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(h / scale, a / scale, atol=2e-5)
+        checked += 1
+    assert checked >= 1
+
+
+@pytest.mark.parametrize("degree", [1, 3, 5, 8])
+def test_render_grads_all_degrees(degree):
+    """Non-default kernel degrees through the FULL (compiled on-chip)
+    render path: pallas forward == scan forward, gradients finite and
+    matching scan autodiff."""
+    cfg = CFG.replace(kernel_degree=degree)
+    model = _scene(48)
+    res = 16
+    cam = g3.Camera.from_fovy(res, res, 60.0, np.eye(4))
+    target = jnp.zeros((res, res, 3)) + 0.25
+    r_scan = TiledRenderer(res, res, cfg, impl="scan")
+    r_pl = TiledRenderer(res, res, cfg, impl=IMPL_PL)
+    cap = r_scan.plan(model, [cam])
+    r_pl.capacity = cap
+    out_s = r_scan.render(model, cam)
+    out_p = r_pl.render(model, cam)
+    np.testing.assert_allclose(np.asarray(out_p["rgb"]),
+                               np.asarray(out_s["rgb"]), atol=2e-5)
+    g_scan = jax.grad(_loss_fn(r_scan, cam, target))(model)
+    g_pl = jax.grad(_loss_fn(r_pl, cam, target))(model)
+    for field in ("means", "scales_log", "opacity_logit", "sh_dc"):
+        a = np.asarray(getattr(g_scan, field))
+        b = np.asarray(getattr(g_pl, field))
+        assert np.isfinite(b).all(), (degree, field)
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(b, a, atol=max(2e-5 * scale, 1e-7),
+                                   rtol=2e-4, err_msg=f"deg{degree}:{field}")
+
+
+def test_variant_flags_preserve_forward():
+    """transmittance_prod / geom_matmul / fwd_sum_matmul are pure
+    implementation choices: same images, same gradients (to f32 assoc)."""
+    model = _scene(64)
+    res = 16
+    cam = g3.Camera.from_fovy(res, res, 60.0, np.eye(4))
+    target = jnp.zeros((res, res, 3)) + 0.25
+    base = TiledRenderer(res, res, CFG, impl=IMPL_PL)
+    cap = base.plan(model, [cam])
+    out0 = base.render(model, cam)
+    g0 = jax.grad(_loss_fn(base, cam, target))(model)
+    cfg_v = CFG.replace(transmittance_prod=True, geom_matmul=True,
+                        fwd_sum_matmul=True)
+    rv = TiledRenderer(res, res, cfg_v, impl=IMPL_PL)
+    rv.capacity = cap
+    rv.capacity_reduce = base.capacity_reduce
+    out1 = rv.render(model, cam)
+    np.testing.assert_allclose(np.asarray(out1["rgb"]),
+                               np.asarray(out0["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1["transmittance"]),
+                               np.asarray(out0["transmittance"]), atol=1e-5)
+    g1 = jax.grad(_loss_fn(rv, cam, target))(model)
+    for field in ("means", "scales_log", "quats", "opacity_logit", "sh_dc"):
+        a = np.asarray(getattr(g0, field))
+        b = np.asarray(getattr(g1, field))
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(b, a, atol=max(3e-5 * scale, 1e-7),
+                                   rtol=3e-4, err_msg=field)
