@@ -74,30 +74,42 @@ def resolve_bands_common(heights, requested: int,
 
 def plan_capacity_banded(model: GaussianModel, camera, n_bands: int,
                          cfg: RenderConfig = DEFAULT_CONFIG,
-                         slack: float = 1.3):
+                         slack: float = 1.3, with_reduce: bool = False):
     """Static (capacity, capacity_padded) = max over the bands' plans.
 
     The device frame table is computed ONCE; each band's plan is pure host
-    NumPy on it (was one full device pass per band — 17x slower at 5M)."""
+    NumPy on it (was one full device pass per band — 17x slower at 5M).
+    `with_reduce=True` additionally plans the COMPACT grad-reduce layout
+    (segreduce.CompactReducePlan) and returns
+    (capacity, capacity_padded, capacity_live, capacity_reduce)."""
     import numpy as np
+    from .binning import plan_compact_reduce_from_table
     act = model.activate()
     w2c, proj = _camera_mats(camera)
     tab = jax.tree.map(np.asarray, frame_cull_table(
         act, jnp.asarray(w2c), jnp.asarray(proj), camera.width,
         camera.height, cfg))
-    cap = cap_pad = 0
+    cap = cap_pad = cap_live = cap_r = 0
     for off in range(n_bands):
         c, cp = plan_capacity_from_table(tab, proj, camera.width,
                                          camera.height, cfg, slack=slack,
                                          band=(off, n_bands))
         cap, cap_pad = max(cap, c), max(cap_pad, cp)
+        if with_reduce:
+            cl, cr = plan_compact_reduce_from_table(
+                tab, proj, camera.width, camera.height, cfg,
+                slack=max(slack, 1.05), band=(off, n_bands))
+            cap_live, cap_r = max(cap_live, cl), max(cap_r, cr)
+    if with_reduce:
+        return cap, cap_pad, cap_live, cap_r
     return cap, cap_pad
 
 
 @partial(jax.jit, static_argnames=("width", "height", "n_bands", "cfg",
-                                   "cap", "cap_pad", "impl"))
+                                   "cap", "cap_pad", "impl", "cap_live",
+                                   "cap_r"))
 def _render_banded(act, w2c, proj, rays_bands, width, height, n_bands, cfg,
-                   cap, cap_pad, impl):
+                   cap, cap_pad, impl, cap_live=0, cap_r=0):
     offsets = jnp.arange(n_bands, dtype=jnp.int32)
     lh = height // n_bands
     # both frame-level tables are band-independent: build them ONCE per
@@ -112,7 +124,9 @@ def _render_banded(act, w2c, proj, rays_bands, width, height, n_bands, cfg,
         rays_b, off = inp
         topo = bin_topology_from_table(tab, proj, width, height, cfg, cap,
                                        cap_pad, row_offset=off,
-                                       row_stride=n_bands)
+                                       row_stride=n_bands,
+                                       capacity_reduce=cap_r,
+                                       capacity_live=cap_live)
         binned = binned_scene(gather_from_rows(rows64, topo, cfg), topo)
         acc = forward_dispatch(binned, rays_b, cfg, impl)
         img = untile(acc, width, lh, cfg.tile_size)
@@ -176,11 +190,19 @@ class BandedRenderer:
         self.width, self.height, self.n_bands = width, height, n_bands
         self.cfg, self.capacity = cfg, capacity
         self.impl = _resolve_impl(impl)
+        #: compact grad-reduce budgets (0 = XLA prefix fallback at scale);
+        #: set by plan() so bound topologies carry a CompactReducePlan
+        self.capacity_live = 0
+        self.capacity_reduce = 0
         self._bound = None      # (topos, rays_bands)
 
     def plan(self, model: GaussianModel, camera, slack: float = 1.3):
-        self.capacity = plan_capacity_banded(model, camera, self.n_bands,
-                                             self.cfg, slack=slack)
+        cap, cap_pad, cap_live, cap_r = plan_capacity_banded(
+            model, camera, self.n_bands, self.cfg, slack=slack,
+            with_reduce=True)
+        self.capacity = (cap, cap_pad)
+        self.capacity_live = max(self.capacity_live, cap_live)
+        self.capacity_reduce = max(self.capacity_reduce, cap_r)
         return self.capacity
 
     def _build_topos(self, model: GaussianModel, camera):
@@ -192,7 +214,9 @@ class BandedRenderer:
         topos = [bin_topology_from_table(tab, proj, self.width, self.height,
                                          self.cfg, cap, cap_pad,
                                          row_offset=off,
-                                         row_stride=self.n_bands)
+                                         row_stride=self.n_bands,
+                                         capacity_reduce=self.capacity_reduce,
+                                         capacity_live=self.capacity_live)
                  for off in range(self.n_bands)]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *topos)
 
@@ -245,13 +269,18 @@ def render_image_banded(model: GaussianModel, camera, n_bands: int,
     width, height = camera.width, camera.height
     ts = cfg.tile_size
     assert (height // ts) % n_bands == 0, (height, ts, n_bands)
+    cap_live = cap_r = 0
     if capacity is None:
-        capacity = plan_capacity_banded(model, camera, n_bands, cfg)
+        capacity = plan_capacity_banded(model, camera, n_bands, cfg,
+                                        with_reduce=True)
+    if len(capacity) == 4:   # (cap, cap_pad, cap_live, cap_r)
+        capacity, cap_live, cap_r = capacity[:2], capacity[2], capacity[3]
     act = model.activate()
     w2c, proj = _camera_mats(camera)
     rays_bands = band_rays(camera, cfg, n_bands)
     img, overflow = _render_banded(act, w2c, proj, rays_bands, width, height,
-                                   n_bands, cfg, *capacity, impl)
+                                   n_bands, cfg, *capacity, impl,
+                                   cap_live=cap_live, cap_r=cap_r)
     return {
         "rgb": img[..., 0:3],
         "depth": img[..., 3],

@@ -47,7 +47,8 @@ from ..ops.aabb import intersect_aabb
 from ..ops.kernels import kernel_scale
 from ..ops.sh import sh_basis_components
 from .param_grads import chunked_gather
-from .segreduce import ReducePlan, build_reduce_plan
+from .segreduce import (GROUP, ReducePlan, build_reduce_plan,
+                        build_reduce_plan_compact, plan_rows_compact)
 from .tile_math import RAY_ROWS
 
 
@@ -297,12 +298,13 @@ def _pair_ellipsoid_cull(tile_x, tile_y, csx, csy, csz, v9, p00, p11,
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "capacity",
                                    "capacity_padded", "row_stride",
-                                   "capacity_reduce"))
+                                   "capacity_reduce", "capacity_live"))
 def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
                  width: int, height: int, cfg: RenderConfig,
                  capacity: int, capacity_padded: int,
                  row_offset=0, row_stride: int = 1,
-                 capacity_reduce: int = 0) -> BinTopology:
+                 capacity_reduce: int = 0,
+                 capacity_live: int = 0) -> BinTopology:
     """Build the depth-sorted, chunk-aligned pair-list TOPOLOGY (no params).
 
     This is the expensive, parameter-gradient-free half of binning (tile
@@ -314,17 +316,18 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     tab = frame_cull_table(act, w2c, proj, width, height, cfg)
     return bin_topology_from_table(tab, proj, width, height, cfg, capacity,
                                    capacity_padded, row_offset, row_stride,
-                                   capacity_reduce)
+                                   capacity_reduce, capacity_live)
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "capacity",
                                    "capacity_padded", "row_stride",
-                                   "capacity_reduce"))
+                                   "capacity_reduce", "capacity_live"))
 def bin_topology_from_table(tab: FrameCullTable, proj: jnp.ndarray,
                             width: int, height: int, cfg: RenderConfig,
                             capacity: int, capacity_padded: int,
                             row_offset=0, row_stride: int = 1,
-                            capacity_reduce: int = 0) -> BinTopology:
+                            capacity_reduce: int = 0,
+                            capacity_live: int = 0) -> BinTopology:
     """Topology from a precomputed frame table (see FrameCullTable).
 
     The banded renderer computes the table once per frame and calls this
@@ -449,11 +452,23 @@ def bin_topology_from_table(tab: FrameCullTable, proj: jnp.ndarray,
     pair_pos = pair_pos.at[p_sorted].set(dest_drop, mode="drop")
 
     # grouped gradient-reduction layout (segreduce.py): pure topology work,
-    # amortized over the K-step reuse window.  Gated off at scale: its
-    # static group padding is O(N) rows, which at 5M gaussians would more
-    # than double the backward permutation gather (the banded path keeps
-    # the XLA prefix fallback, param_grads._bwd_xla_prefix).
-    if n <= 1_500_000:
+    # amortized over the bind/refresh cadence.  Three regimes:
+    #   capacity_live > 0  -> COMPACT plan over the band's live gaussians
+    #                         (the at-scale default: padding O(n_live), one
+    #                         N-row expansion per backward — un-gates the
+    #                         Pallas segreduce at 5M, r3 verdict item 2);
+    #   n <= 1.5M          -> full-id-space plan (flagship path: nearly all
+    #                         gaussians live, no expansion gather needed);
+    #   else               -> None = XLA prefix fallback
+    #                         (param_grads._bwd_xla_prefix).
+    if capacity_live > 0:
+        assert capacity_live % GROUP == 0, capacity_live
+        cap_r = capacity_reduce or plan_rows_compact(capacity, capacity_live)
+        red, red_overflow = build_reduce_plan_compact(
+            pair_g, pair_pos, offsets, counts, n, capacity,
+            capacity_padded, capacity_live, cap_r)
+        overflow = overflow + red_overflow
+    elif n <= 1_500_000:
         red, red_overflow = build_reduce_plan(
             pair_g, pair_pos, offsets, counts, n, capacity,
             capacity_padded, capacity_reduce)
@@ -630,7 +645,8 @@ def _host_expand_cull(tab: FrameCullTable, proj, width, height,
         width, height, cfg.tile_size))
     tile_id = (tile_y * nx + tile_x)[keep]
     per_tile = np.bincount(tile_id, minlength=nx * ny)
-    return total, per_tile, nx, ny
+    n_live = int(np.unique(pg[keep]).size)
+    return total, per_tile, nx, ny, n_live
 
 
 def plan_capacity_from_table(tab: FrameCullTable, proj, width, height,
@@ -642,8 +658,8 @@ def plan_capacity_from_table(tab: FrameCullTable, proj, width, height,
     `frame_cull_table` once and call this per band instead of re-running the
     device pass per band."""
     g = cfg.chunk_size
-    total, per_tile, nx, ny = _host_expand_cull(tab, proj, width, height,
-                                                cfg, band)
+    total, per_tile, nx, ny, _ = _host_expand_cull(tab, proj, width, height,
+                                                   cfg, band)
     capacity = max(g, int(math.ceil(total * slack / g)) * g)
     # slack per tile for camera motion + a pool of whole chunks for tiles
     # that are empty now but covered later; runtime overflow is reported in
@@ -668,8 +684,8 @@ def plan_reduce_capacity_from_table(tab: FrameCullTable, proj, width, height,
     don't fit at runtime are counted into topology overflow (re-plan
     contract), so a tight slack is safe."""
     from .segreduce import plan_rows
-    _, per_tile, _, _ = _host_expand_cull(tab, proj, width, height, cfg,
-                                          band)
+    _, per_tile, _, _, _ = _host_expand_cull(tab, proj, width, height, cfg,
+                                             band)
     survivors = int(per_tile.sum())
     # finer 1.1x bucket than the pipeline shapes: the reduce gather pays a
     # hard ~11.6 ns per row (PROFILE section 1), and the 1.25x grid was
@@ -678,6 +694,25 @@ def plan_reduce_capacity_from_table(tab: FrameCullTable, proj, width, height,
     budget = _bucket_capacity(int(math.ceil(survivors * slack)),
                               cfg.chunk_size, ratio=1.1)
     return plan_rows(budget, n_rows)
+
+
+def plan_compact_reduce_from_table(tab: FrameCullTable, proj, width, height,
+                                   cfg: RenderConfig,
+                                   slack: float = 1.05, band=(0, 1)):
+    """Host plan for the COMPACT grad-reduce layout (segreduce.py).
+
+    Returns (capacity_live, capacity_reduce) for one band: live-gaussian
+    capacity (bucketed multiple of GROUP) and the reduction row count over
+    that compact space.  Runtime overflow of either budget is folded into
+    topology overflow (eager re-plan contract)."""
+    _, per_tile, _, _, n_live = _host_expand_cull(tab, proj, width, height,
+                                                  cfg, band)
+    survivors = int(per_tile.sum())
+    cap_live = _bucket_capacity(int(math.ceil(max(n_live, 1) * slack)),
+                                GROUP, ratio=1.1)
+    budget = _bucket_capacity(int(math.ceil(survivors * slack)),
+                              cfg.chunk_size, ratio=1.1)
+    return cap_live, plan_rows_compact(budget, cap_live)
 
 
 def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,

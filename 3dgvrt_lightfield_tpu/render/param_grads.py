@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .segreduce import GROUP, segment_reduce
+from .segreduce import GROUP, CompactReducePlan, segment_reduce
 
 
 def blocked_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
@@ -125,6 +125,28 @@ def _bwd_segreduce(n_rows, red, bar_flat):
     return out[:n_rows]
 
 
+def _bwd_segreduce_compact(n_rows, red: CompactReducePlan, bar_flat):
+    """Compact-space Pallas segreduce + ONE N-row expansion gather.
+
+    The at-scale (banded) default: group padding is O(live gaussians)
+    instead of O(N), and the expansion back to the full parameter table is
+    one N-row gather where the prefix fallback paid two boundary gathers
+    plus a capacity-length blocked cumsum (segreduce.CompactReducePlan)."""
+    p_pad = bar_flat.shape[0]
+    c = bar_flat.shape[1]
+    bar_pre = bar_flat[jnp.minimum(red.slot, p_pad - 1)]
+    n_groups_c = red.delta.shape[0]
+    cap_live = n_groups_c * GROUP
+    interpret = jax.default_backend() != "tpu"
+    out = segment_reduce(bar_pre, red, n_groups_c, interpret=interpret)
+    src = red.full_src                                      # (N,)
+    full = jnp.where((src < cap_live)[:, None],
+                     out[jnp.minimum(src, cap_live - 1)], 0.0)
+    n = src.shape[0]
+    return jnp.concatenate(
+        [full, jnp.zeros((n_rows - n, c), full.dtype)])
+
+
 def _gather_bwd(chunk_size, res, bar):
     n_rows, pair_gauss, pair_pos, offsets, counts, red = res
     num_chunks, g, c = bar.shape
@@ -132,6 +154,8 @@ def _gather_bwd(chunk_size, res, bar):
     if red is None:
         grad_rows = _bwd_xla_prefix(n_rows, pair_pos, offsets, counts,
                                     bar_flat)
+    elif isinstance(red, CompactReducePlan):
+        grad_rows = _bwd_segreduce_compact(n_rows, red, bar_flat)
     else:
         grad_rows = _bwd_segreduce(n_rows, red, bar_flat)
 

@@ -62,6 +62,31 @@ class ReducePlan(NamedTuple):
     first: jnp.ndarray    # (cap_r // 256,) int32: 1 = first block of group
 
 
+class CompactReducePlan(NamedTuple):
+    """Grouped reduction layout over LIVE-gaussian compact ids (at scale).
+
+    The full-space ReducePlan pads >= 1 block per group of 256 consecutive
+    gaussian IDS — O(N) rows regardless of how many gaussians a band
+    actually touches, which is why the r3 code gated the Pallas segreduce
+    off above 1.5M gaussians.  This variant renumbers the band's live
+    gaussians 0..n_live-1 (order-preserving, so live pairs keep their
+    contiguity) and builds the same group-block layout in that compact
+    space: padding is O(n_live), and a single (N,)-row expansion gather
+    (`full_src`) lifts the compact per-gaussian sums back to the full
+    parameter table — one N-row gather where the XLA prefix fallback paid
+    two (its cum[hi-1]/cum[lo-1] boundary gathers) plus a capacity-length
+    blocked cumsum.
+    """
+    slot: jnp.ndarray     # (cap_r,) int32: padded chunk slot per row
+    gloc: jnp.ndarray     # (cap_r // 256, 256) int32: compact id - 256*group
+    out_idx: jnp.ndarray  # (cap_r // 256,) int32: output compact group
+    first: jnp.ndarray    # (cap_r // 256,) int32: 1 = first block of group
+    full_src: jnp.ndarray  # (N,) int32: gaussian -> compact id
+                           #    (cap_live = dead/overflowed -> zero row)
+    delta: jnp.ndarray    # (cap_live // 256,) int32 per-group row offset;
+                          #    its STATIC shape also carries cap_live
+
+
 def plan_rows(capacity: int, n_rows: int) -> int:
     """Static reduction row count for `capacity` pre-sort pairs and
     `n_rows` = N+1 parameter-table rows (worst-case group padding)."""
@@ -207,3 +232,97 @@ def build_reduce_plan(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
     red_overflow = jnp.sum((live & (dest >= cap_r)).astype(jnp.int32))
     return ReducePlan(slot=slot, gloc=gloc, out_idx=out_idx,
                       first=first), red_overflow
+
+
+def plan_rows_compact(survivors: int, cap_live: int) -> int:
+    """Static reduction rows for `survivors` live pairs over a compact
+    space of `cap_live` gaussians (one padded block per compact group)."""
+    n_groups_c = cap_live // GROUP
+    raw = survivors + GROUP * n_groups_c
+    return -(-raw // _ROW_QUANT) * _ROW_QUANT
+
+
+def build_reduce_plan_compact(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
+                              offsets: jnp.ndarray, counts: jnp.ndarray,
+                              n: int, capacity: int, capacity_padded: int,
+                              cap_live: int, cap_r: int):
+    """Compact-space grouped reduction layout (see CompactReducePlan).
+
+    `cap_live` (multiple of GROUP) is the planned live-gaussian capacity,
+    `cap_r` the planned reduction row count (plan_rows_compact).  Live
+    gaussians beyond cap_live, and live rows beyond cap_r, are counted into
+    the returned overflow — the standard eager re-plan contract.  All index
+    math is topology-time (amortized over the bind/refresh cadence); the
+    only per-backward costs are the cap_r-row permutation gather, the
+    segreduce kernel, and ONE (N,)-row expansion gather.
+    """
+    assert capacity_padded < DEAD_SLOT, capacity_padded
+    assert cap_live % GROUP == 0 and cap_r % GROUP == 0, (cap_live, cap_r)
+    n_groups_c = cap_live // GROUP
+    nb = cap_r // GROUP
+
+    # live pair rank (pre-sort order) and per-gaussian live ranges
+    live = pair_pos < capacity_padded                       # (capacity,)
+    lrank = jnp.cumsum(live.astype(jnp.int32)) - 1
+    live_cum0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), lrank + 1])            # live before p
+    g_pair_start = live_cum0[jnp.minimum(offsets, capacity)]          # (N,)
+    g_pair_end = live_cum0[jnp.minimum(offsets + counts, capacity)]   # (N,)
+    total_live = live_cum0[-1]
+
+    # order-preserving compact renumbering of live gaussians
+    assert n > 0, n
+    lv = g_pair_end > g_pair_start                          # (N,) bool
+    cid_raw = jnp.cumsum(lv.astype(jnp.int32)) - 1
+    n_live = cid_raw[-1] + 1
+    overflow = jnp.maximum(n_live - cap_live, 0)
+    in_cap = lv & (cid_raw < cap_live)
+    #: gaussian -> compact id; dead or live-overflowed -> cap_live sentinel
+    full_src = jnp.where(in_cap, cid_raw, cap_live)
+
+    # per-compact-group live-pair start: scatter each live gaussian's pair
+    # start to its compact slot, fill the tail with the live total
+    start_tbl = jnp.full((cap_live,), 0, jnp.int32)
+    start_tbl = start_tbl.at[jnp.where(in_cap, cid_raw, cap_live)].max(
+        g_pair_start, mode="drop")
+    # unwritten trailing compact slots must read as total_live: they have
+    # monotone starts, so a cummax over (scatter, then tail-fill) works
+    tail = jnp.where(jnp.arange(cap_live, dtype=jnp.int32)
+                     >= jnp.minimum(n_live, cap_live), total_live, 0)
+    start_tbl = jax.lax.cummax(jnp.maximum(start_tbl, tail))
+    grp_start = start_tbl.reshape(n_groups_c, GROUP)[:, 0]  # (n_groups_c,)
+    grp_end = jnp.concatenate([grp_start[1:], total_live[None]])
+    gt = jnp.maximum(grp_end - grp_start, 0)
+
+    # blocks per compact group (>= 1: every planned output block gets
+    # zero-initialized even for empty trailing groups)
+    bk = jnp.maximum((gt + GROUP - 1) // GROUP, 1)
+    bstart = jnp.cumsum(bk) - bk
+    overflow = overflow + jnp.maximum(bstart[-1] + bk[-1] - nb, 0)
+    delta = GROUP * bstart - grp_start                      # (n_groups_c,)
+
+    # pair -> compact id -> destination row
+    cid_pair = full_src[pair_g]                             # (capacity,)
+    ok = live & (cid_pair < cap_live)
+    kp = jnp.minimum(cid_pair >> 8, n_groups_c - 1)         # GROUP == 2^8
+    dest = delta[kp] + lrank
+    dest = jnp.where(ok & (dest < cap_r), dest, cap_r)
+
+    packed = ((cid_pair & 0xFF) << 24) | jnp.minimum(pair_pos, DEAD_SLOT)
+    table = jnp.full((cap_r,), DEAD_SLOT, jnp.int32)
+    table = table.at[dest].set(packed, mode="drop")
+    slot = table & DEAD_SLOT
+    gloc = (table >> 24) & 0xFF
+    gloc = jnp.where(slot >= capacity_padded, GROUP, gloc).reshape(nb, GROUP)
+
+    arr = jnp.zeros((nb,), jnp.int32)
+    arr = arr.at[jnp.minimum(bstart, nb - 1)].max(
+        jnp.arange(n_groups_c, dtype=jnp.int32), mode="drop")
+    out_idx = jax.lax.cummax(arr)
+    first = jnp.zeros((nb,), jnp.int32).at[jnp.minimum(bstart, nb - 1)].set(
+        1, mode="drop")
+    red_overflow = jnp.sum((ok & (delta[kp] + lrank >= cap_r))
+                           .astype(jnp.int32))
+    return CompactReducePlan(slot=slot, gloc=gloc, out_idx=out_idx,
+                             first=first, full_src=full_src, delta=delta), \
+        overflow + red_overflow

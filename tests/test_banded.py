@@ -176,3 +176,77 @@ def test_resolve_bands_common_mixed_heights():
         b = resolve_bands_common(heights, 8, cfg16)
         for h in heights:
             assert (h // 16) % b == 0
+
+
+def test_compact_reduce_matches_full_and_fallback():
+    """Compact-space grad reduce (CompactReducePlan, the un-gated at-scale
+    path) == full-id-space Pallas plan == XLA prefix fallback."""
+    from gvrt_tpu.render import binning
+    from gvrt_tpu.render.binning import (bin_topology, gather_from_rows,
+                                         param_rows, frame_cull_table,
+                                         plan_compact_reduce_from_table)
+    from gvrt_tpu.render.segreduce import CompactReducePlan
+    from gvrt_tpu.render.tiled import _camera_mats
+    cfg = CFG
+    model = _scene(400, seed=8)
+    act = model.activate()
+    cam = g3.Camera.from_fovy(32, 32, 60.0, np.eye(4))
+    w2c, proj = _camera_mats(cam)
+    cap, cap_pad = binning.plan_capacity(act, w2c, proj, 32, 32, cfg)
+    tab = jax.tree.map(np.asarray, frame_cull_table(
+        act, jnp.asarray(w2c), jnp.asarray(proj), 32, 32, cfg))
+    cap_live, cap_r = plan_compact_reduce_from_table(tab, proj, 32, 32, cfg)
+
+    topo_full = bin_topology(act, w2c, proj, 32, 32, cfg, cap, cap_pad)
+    topo_cmp = bin_topology(act, w2c, proj, 32, 32, cfg, cap, cap_pad,
+                            capacity_reduce=cap_r, capacity_live=cap_live)
+    assert isinstance(topo_cmp.red, CompactReducePlan)
+    assert int(topo_cmp.overflow) == 0, int(topo_cmp.overflow)
+    topo_none = topo_full._replace(red=None)
+
+    rows = param_rows(act, cfg)
+    wkey = jax.random.normal(jax.random.key(0),
+                             (cap_pad // cfg.chunk_size, cfg.chunk_size, 64))
+
+    def loss(r64, topo):
+        return jnp.sum(gather_from_rows(r64, topo, cfg) * wkey)
+
+    g_full = jax.grad(loss)(rows, topo_full)
+    g_cmp = jax.grad(loss)(rows, topo_cmp)
+    g_none = jax.grad(loss)(rows, topo_none)
+    scale = np.abs(np.asarray(g_full)).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(g_cmp) / scale,
+                               np.asarray(g_full) / scale, atol=2e-6)
+    # the prefix fallback carries long-prefix cancellation (the documented
+    # r3 precision hazard the direct sums fixed) — looser bar
+    np.testing.assert_allclose(np.asarray(g_none) / scale,
+                               np.asarray(g_full) / scale, atol=2e-4)
+
+
+def test_banded_compact_reduce_end_to_end_grads():
+    """render_image_banded with the compact 4-tuple capacity: same image,
+    same gradients as the 2-tuple (full-plan) path."""
+    model = _scene(200, seed=12)
+    cam = g3.Camera.from_fovy(32, 32, 60.0, np.eye(4))
+    cap4 = plan_capacity_banded(model, cam, 2, CFG, with_reduce=True)
+    assert len(cap4) == 4 and cap4[2] > 0 and cap4[3] > 0
+
+    def loss(m, capacity):
+        out = render_image_banded(m, cam, 2, CFG, capacity=capacity,
+                                  impl=IMPL_PL)
+        return jnp.mean(out["rgb"] ** 2) + 1e-2 * jnp.mean(out["depth"])
+
+    out2 = render_image_banded(model, cam, 2, CFG, capacity=cap4[:2],
+                               impl=IMPL_PL)
+    out4 = render_image_banded(model, cam, 2, CFG, capacity=cap4,
+                               impl=IMPL_PL)
+    assert int(out4["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(out4["rgb"]),
+                               np.asarray(out2["rgb"]), atol=1e-6)
+    g2 = jax.grad(lambda m: loss(m, cap4[:2]))(model)
+    g4 = jax.grad(lambda m: loss(m, cap4))(model)
+    for field in ("means", "scales_log", "quats", "opacity_logit", "sh_dc"):
+        a, b = np.asarray(getattr(g2, field)), np.asarray(getattr(g4, field))
+        scale = max(np.abs(a).max(), 1e-10)
+        np.testing.assert_allclose(b / scale, a / scale, atol=3e-6,
+                                   err_msg=field)
