@@ -97,16 +97,18 @@ class RenderConfig:
     #: Track in-chunk transmittance as a direct product of (1 - alpha)
     #: (exclusive shift-tree cumprod) instead of exp(cumsum(log1p(-alpha))):
     #: removes 2 of the kernel's 4 per-pair transcendentals in forward AND
-    #: the backward recompute.  f32 products of <= G terms in [0, 1] round
-    #: to ~G*2^-24 — tighter than the exp(sum(log1p)) chain it replaces.
-    transmittance_prod: bool = False
-    #: Backward kernel's 16 per-pair-row lane reductions (bar_geom: sums
-    #: over the ray axis) as (G, R) x (R, k) MXU contractions instead of
-    #: VPU cross-lane sums.
-    geom_matmul: bool = False
-    #: Axis-0 (Gaussian/sublane) reductions in the kernels as ones-row MXU
-    #: contractions instead of VPU sublane sums.
-    fwd_sum_matmul: bool = False
+    #: the backward recompute — measured on v5e at bench scale: fwd 22.0 ->
+    #: 21.4, bwd 38.2 -> 37.1 ms/frame (spool 014, driver round 4).  f32
+    #: products of <= G terms in [0, 1] round to ~G*2^-24 — tighter than
+    #: the exp(sum(log1p)) chain it replaces (and avoids the TPU's
+    #: approximated exp/log1p).  False = the reference's log-space
+    #: formulation (gaussianfunctions.glsl composite), kept as the
+    #: validation alternative and for prefix_matmul.
+    #: (Two further MXU-reduction variants were measured and REJECTED:
+    #: lane-contraction bar_geom cost +11 ms/frame backward and ones-row
+    #: sublane-sum matmuls +10 ms/frame forward — Mosaic's native VPU
+    #: reductions win; see PROFILE.md round-4 A/B table.)
+    transmittance_prod: bool = True
     #: Emit gradients w.r.t. the per-tile ray blocks (origins, directions,
     #: SH basis rows) from the backward kernel.  Off by default: the
     #: training paths treat rays as constants, and the emission costs extra

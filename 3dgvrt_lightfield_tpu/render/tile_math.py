@@ -135,31 +135,13 @@ def _prod_g(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _sum_g(x: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+def _sum_g(x: jnp.ndarray) -> jnp.ndarray:
     """Sum over the Gaussian (sublane) axis: (G, R) -> (1, R).
 
-    fwd_sum_matmul routes it through a ones-row MXU contraction at HIGHEST
-    precision (bf16 1-pass would round every summand to bf16 — image-level
-    error); otherwise a plain VPU sublane sum.
+    Plain VPU sublane sum.  A ones-row MXU contraction was A/B-measured
+    +10 ms/frame WORSE at bench scale (spool 014) and removed.
     """
-    if not cfg.fwd_sum_matmul:
-        return jnp.sum(x, axis=0, keepdims=True)
-    ones = jnp.ones((1, x.shape[0]), x.dtype)
-    return jnp.dot(ones, x, preferred_element_type=x.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
-
-
-def _dot_lanes(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(G, R) x (K, R) -> (G, K) contraction over the ray (lane) axis.
-
-    Written as dot_general so the (K, R) operand keeps its natural
-    lane-major layout (no transpose relayout); HIGHEST precision — these
-    replace exact f32 adds in gradient accumulation.
-    """
-    return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=a.dtype)
+    return jnp.sum(x, axis=0, keepdims=True)
 
 
 def chunk_core(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
@@ -244,15 +226,15 @@ def chunk_core(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
         rad = jnp.dot(sh_c, basis16, precision=_SH_PRECISION,
                       preferred_element_type=f32) + 0.5
         rad = jnp.maximum(rad, 0.0)
-        out_rgb.append(_sum_g(w * rad, cfg))                       # (1, R)
+        out_rgb.append(_sum_g(w * rad))                       # (1, R)
 
-    depth_contrib = _sum_g(w * t, cfg)
-    hits = _sum_g((accept & active).astype(f32), cfg)
+    depth_contrib = _sum_g(w * t)
+    hits = _sum_g((accept & active).astype(f32))
     if cfg.transmittance_prod:
         t_out = t_in * _prod_g(jnp.where(active, u, 1.0))
     else:
         la_active = jnp.where(active, la, 0.0)
-        t_out = t_in * jnp.exp(_sum_g(la_active, cfg))
+        t_out = t_in * jnp.exp(_sum_g(la_active))
     return t_out, jnp.concatenate(out_rgb, axis=0), depth_contrib, hits
 
 
@@ -361,16 +343,16 @@ def chunk_core_bwd(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
         # (padding rows have u == 1), so the division is benign — the log
         # formulation divides by the same quantity.
         bar_p = bar_tb * t_in                                    # (G, R)
-        bar_tin = bar_tin + _sum_g(bar_tb * prod_excl, cfg)
+        bar_tin = bar_tin + _sum_g(bar_tb * prod_excl)
         pp = bar_p * prod_excl
-        suffix_pp = _sum_g(pp, cfg) - _exclusive_cumsum_g(pp, cfg) - pp
+        suffix_pp = _sum_g(pp) - _exclusive_cumsum_g(pp, cfg) - pp
         bar_u = (suffix_pp + jnp.where(active, bar_m * m_tot, 0.0)) / u
         bar_ae = bar_ae - bar_u
     else:
         bar_ce = bar_tb * t_in * ece
-        bar_tin = bar_tin + _sum_g(bar_tb * ece, cfg)
+        bar_tin = bar_tin + _sum_g(bar_tb * ece)
         # ce_g = sum_{g'<g} la_{g'}  =>  bar_la_g += sum_{g''>g} bar_ce_{g''}
-        total_ce = _sum_g(bar_ce, cfg)
+        total_ce = _sum_g(bar_ce)
         bar_la = (total_ce - _exclusive_cumsum_g(bar_ce, cfg) - bar_ce
                   + jnp.where(active, bar_s, 0.0))
         bar_ae = bar_ae - bar_la / (1.0 - alpha_eff)
@@ -401,34 +383,21 @@ def chunk_core_bwd(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
     for i in range(3):
         bar_grdu[i] = bar_grdu[i] + 2.0 * grdu[i] * bar_n2
 
-    # gro_i = sum_j m_{3i+j} o_j - b_i ; grdu_i = sum_j m_{3i+j} d_j
+    # gro_i = sum_j m_{3i+j} o_j - b_i ; grdu_i = sum_j m_{3i+j} d_j.
+    # VPU cross-lane sums on purpose: rewriting these 16 reductions as
+    # (G, R) x (R, k) MXU lane contractions was A/B-measured +11 ms/frame
+    # WORSE at bench scale (spool 014, driver round 4) — Mosaic's native
+    # reduction lowering wins over small-N HIGHEST-precision matmuls.
     g = chunk.shape[0]
-    if cfg.geom_matmul:
-        # the 16 per-row ray-axis reductions as MXU lane contractions:
-        # p_i = bar_gro_i x [o | 1] gives the three o-products AND the b_i
-        # row sum in one (G, R) x (4, R) pass; q_i = bar_grdu_i x d
-        o4 = jnp.concatenate([o[0], o[1], o[2], jnp.ones_like(o[0])],
-                             axis=0)                             # (4, R)
-        d3 = jnp.concatenate([d[0], d[1], d[2]], axis=0)         # (3, R)
-        ones_r = jnp.ones((1, o[0].shape[1]), f32)
-        bar_geom = [None] * 13
-        for i in range(3):
-            p_i = _dot_lanes(bar_gro[i], o4)                     # (G, 4)
-            q_i = _dot_lanes(bar_grdu[i], d3)                    # (G, 3)
-            for j in range(3):
-                bar_geom[3 * i + j] = p_i[:, j:j + 1] + q_i[:, j:j + 1]
-            bar_geom[9 + i] = -p_i[:, 3:4]
-        bar_geom[12] = _dot_lanes(bar_density, ones_r)           # (G, 1)
-    else:
-        bar_geom = []                                            # 16 x (G, 1)
-        for i in range(3):
-            for j in range(3):
-                bar_geom.append(jnp.sum(bar_gro[i] * o[j]
-                                        + bar_grdu[i] * d[j],
-                                        axis=1, keepdims=True))
-        for i in range(3):
-            bar_geom.append(-jnp.sum(bar_gro[i], axis=1, keepdims=True))
-        bar_geom.append(jnp.sum(bar_density, axis=1, keepdims=True))
+    bar_geom = []                                                # 16 x (G, 1)
+    for i in range(3):
+        for j in range(3):
+            bar_geom.append(jnp.sum(bar_gro[i] * o[j]
+                                    + bar_grdu[i] * d[j],
+                                    axis=1, keepdims=True))
+    for i in range(3):
+        bar_geom.append(-jnp.sum(bar_gro[i], axis=1, keepdims=True))
+    bar_geom.append(jnp.sum(bar_density, axis=1, keepdims=True))
     bar_geom.append(jnp.zeros((g, 3), f32))
     bar_chunk = jnp.concatenate(bar_geom + bar_sh_cols, axis=1)  # (G, 64)
 
@@ -444,8 +413,8 @@ def chunk_core_bwd(rays: jnp.ndarray, chunk: jnp.ndarray, t_in: jnp.ndarray,
                  + m[6 + j] * bar_gro[2])
         tmp_d = (m[j] * bar_grdu[0] + m[3 + j] * bar_grdu[1]
                  + m[6 + j] * bar_grdu[2])
-        bar_o_rows.append(_sum_g(tmp_o, cfg))
-        bar_d_rows.append(_sum_g(tmp_d, cfg))
+        bar_o_rows.append(_sum_g(tmp_o))
+        bar_d_rows.append(_sum_g(tmp_d))
     bar_basis = jnp.zeros_like(basis16)                          # (16, R)
     for c in range(3):
         sh_c = chunk[:, CH_SH + 16 * c:CH_SH + 16 * (c + 1)]

@@ -242,7 +242,27 @@ def main():
     # block_until_ready can return before the device finishes; a D2H scalar
     # read is the sync.
     t_c = time.time()
-    m2, acc, aux = train_k(model)
+    if os.environ.get("GVRT_BENCH_DECOMPOSE"):
+        # warm-start attribution (PROFILE section 5): tracing vs
+        # compile/persistent-cache-deserialize vs first execution
+        t0 = time.time()
+        lowered = train_k.lower(model)
+        t_trace = time.time() - t0
+        t0 = time.time()
+        compiled = lowered.compile()
+        t_compile = time.time() - t0
+        t0 = time.time()
+        m2, acc, aux = compiled(model)
+        _ = float(acc)
+        t_exec = time.time() - t0
+        log(f"bench: DECOMPOSE train_k trace {t_trace:.1f}s "
+            f"compile/deserialize {t_compile:.1f}s first-window {t_exec:.1f}s")
+        t0 = time.time()
+        lowered_f = fwd_k.lower(model)
+        compiled_f = lowered_f.compile()
+        log(f"bench: DECOMPOSE fwd_k trace+compile {time.time() - t0:.1f}s")
+    else:
+        m2, acc, aux = train_k(model)
     val, mean_hits, grad_norm, overflow = map(float, aux)
     log(f"bench: compile+first window {time.time() - t_c:.1f}s")
     assert np.isfinite(val)

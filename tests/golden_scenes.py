@@ -54,3 +54,52 @@ def render_goldens(impl: str):
         rgb = np.asarray(r.render(model, cam)["rgb"], np.float32)
         out.append((cam.name, rgb))
     return out
+
+
+# ---- reference-protocol eval set: >= 16 views at 800x800 (r3 verdict
+# item 3; the reference ships ~50-view 800^2 sets per method under
+# results/evaluations/, rendered at VulkanRTBase.h:217-219's 800x800) ----
+EVAL_SIZE = 800
+EVAL_VIEWS = 16
+EVAL_GAUSS = 40_000
+
+
+def eval800_model():
+    import jax
+    import gvrt_tpu as g3
+    model = g3.random_gaussians(jax.random.key(1234), EVAL_GAUSS, extent=1.0,
+                                scale_range=(-5.2, -3.2))
+    model.means = model.means.at[:, 2].add(-3.0)
+    return model
+
+
+def eval800_cameras():
+    """NeRF-style ring: EVAL_VIEWS cameras orbiting the object with a small
+    vertical oscillation (deterministic)."""
+    import gvrt_tpu as g3
+    from gvrt_tpu.io.cameras import look_at_inverse
+    cams = []
+    center = np.asarray([0.0, 0.0, -3.0])
+    for i in range(EVAL_VIEWS):
+        theta = 2 * math.pi * i / EVAL_VIEWS
+        z = 0.3 * math.sin(3 * theta)
+        eye = center + 2.6 * np.asarray(
+            [math.cos(theta), math.sin(theta), 0.25 + z * 0.3])
+        c2w = look_at_inverse(eye, center, np.asarray([0.0, 0.0, 1.0]))
+        cams.append(g3.Camera.from_fovy(EVAL_SIZE, EVAL_SIZE, 50.0, c2w,
+                                        name=f"r_{i}"))
+    return cams
+
+
+def render_eval800(impl: str, views=None):
+    """Render the 800^2 eval views -> list of (name, rgb f32 (H, W, 3))."""
+    import gvrt_tpu as g3
+    from gvrt_tpu.render.tiled import TiledRenderer
+    model = eval800_model()
+    cams = eval800_cameras()
+    if views is not None:
+        cams = [cams[i] for i in views]
+    r = TiledRenderer(EVAL_SIZE, EVAL_SIZE, g3.DEFAULT_CONFIG, impl=impl)
+    r.plan(model, cams)
+    return [(cam.name, np.asarray(r.render(model, cam)["rgb"], np.float32))
+            for cam in cams]

@@ -146,13 +146,13 @@ def test_backward_with_deep_ray_stacks(saturated):
         assert gm[-20:].max() <= 1e-6 + 1e-3 * gm.max()
 
 
-#: implementation-variant configs the hand VJP must stay exact under
-#: (cumprod transmittance, MXU geometry reductions, MXU sublane sums)
+#: implementation-variant configs the hand VJP must stay exact under:
+#: the default cumprod transmittance and the log-space reference
+#: formulation (with both of its prefix implementations)
 _VARIANTS = [
     {},
-    {"transmittance_prod": True},
-    {"geom_matmul": True, "fwd_sum_matmul": True},
-    {"transmittance_prod": True, "geom_matmul": True, "fwd_sum_matmul": True},
+    {"transmittance_prod": False},
+    {"transmittance_prod": False, "prefix_matmul": True},
 ]
 
 
@@ -285,8 +285,9 @@ def test_render_grads_all_degrees(degree):
 
 
 def test_variant_flags_preserve_forward():
-    """transmittance_prod / geom_matmul / fwd_sum_matmul are pure
-    implementation choices: same images, same gradients (to f32 assoc)."""
+    """transmittance_prod (default) vs the log-space reference formulation:
+    pure implementation choices — same images, same gradients (to f32
+    assoc / transcendental approximation)."""
     model = _scene(64)
     res = 16
     cam = g3.Camera.from_fovy(res, res, 60.0, np.eye(4))
@@ -295,16 +296,19 @@ def test_variant_flags_preserve_forward():
     cap = base.plan(model, [cam])
     out0 = base.render(model, cam)
     g0 = jax.grad(_loss_fn(base, cam, target))(model)
-    cfg_v = CFG.replace(transmittance_prod=True, geom_matmul=True,
-                        fwd_sum_matmul=True)
+    cfg_v = CFG.replace(transmittance_prod=not CFG.transmittance_prod)
     rv = TiledRenderer(res, res, cfg_v, impl=IMPL_PL)
     rv.capacity = cap
     rv.capacity_reduce = base.capacity_reduce
     out1 = rv.render(model, cam)
+    # on-chip the log-space path goes through the TPU's APPROXIMATED
+    # exp/log1p while cumprod is exact multiplies: measured 7.7e-5 abs
+    # drift between the formulations (spool 012) — numerics, not math
+    atol = 2e-4 if os.environ.get("GVRT_TEST_TPU") else 1e-5
     np.testing.assert_allclose(np.asarray(out1["rgb"]),
-                               np.asarray(out0["rgb"]), atol=1e-5)
+                               np.asarray(out0["rgb"]), atol=atol)
     np.testing.assert_allclose(np.asarray(out1["transmittance"]),
-                               np.asarray(out0["transmittance"]), atol=1e-5)
+                               np.asarray(out0["transmittance"]), atol=atol)
     g1 = jax.grad(_loss_fn(rv, cam, target))(model)
     for field in ("means", "scales_log", "quats", "opacity_logit", "sh_dc"):
         a = np.asarray(getattr(g0, field))
