@@ -38,7 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 #: Gaussians per output group == rows per input block (one MXU matmul).
+#: 128 halves the partially-filled-group padding rows the permutation
+#: gather pays for, at identical total MXU selection flops (the MXU tile
+#: is 128x128 either way).  Must be a power of two <= 256 (the packed
+#: scatter keeps the local index in 8 bits).
 GROUP = 256
+GROUP_SHIFT = GROUP.bit_length() - 1
 #: reduction row count is padded to GROUP * 8 so the (8, GROUP) g_loc
 #: blocks tile evenly (Mosaic block shapes need sublanes % 8 == 0).
 _ROW_QUANT = GROUP * 8
@@ -205,12 +210,12 @@ def build_reduce_plan(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
     # live pre-sort pair p of group k lands at reduction row
     #   GROUP * bstart[k] + (lrank[p] - g_live_start[k]) = delta[k] + lrank
     delta = GROUP * bstart - g_live_start
-    dest = delta[pair_g >> 8] + lrank                       # GROUP == 2^8
+    dest = delta[pair_g >> GROUP_SHIFT] + lrank
     dest = jnp.where(live, dest, cap_r)                     # dead -> drop
 
     # ONE packed int32 scatter carries both the slot and the local Gaussian
     # index (slot < 2^24 asserted above; wide data always moves by gather)
-    packed = ((pair_g & 0xFF) << 24) | jnp.minimum(pair_pos, DEAD_SLOT)
+    packed = ((pair_g & (GROUP - 1)) << 24) | jnp.minimum(pair_pos, DEAD_SLOT)
     table = jnp.full((cap_r,), DEAD_SLOT, jnp.int32)
     table = table.at[dest].set(packed, mode="drop")
     slot = table & DEAD_SLOT
@@ -304,11 +309,11 @@ def build_reduce_plan_compact(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
     # pair -> compact id -> destination row
     cid_pair = full_src[pair_g]                             # (capacity,)
     ok = live & (cid_pair < cap_live)
-    kp = jnp.minimum(cid_pair >> 8, n_groups_c - 1)         # GROUP == 2^8
+    kp = jnp.minimum(cid_pair >> GROUP_SHIFT, n_groups_c - 1)
     dest = delta[kp] + lrank
     dest = jnp.where(ok & (dest < cap_r), dest, cap_r)
 
-    packed = ((cid_pair & 0xFF) << 24) | jnp.minimum(pair_pos, DEAD_SLOT)
+    packed = ((cid_pair & (GROUP - 1)) << 24) | jnp.minimum(pair_pos, DEAD_SLOT)
     table = jnp.full((cap_r,), DEAD_SLOT, jnp.int32)
     table = table.at[dest].set(packed, mode="drop")
     slot = table & DEAD_SLOT
