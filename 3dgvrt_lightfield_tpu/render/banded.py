@@ -141,8 +141,10 @@ def _render_banded(act, w2c, proj, rays_bands, width, height, n_bands, cfg,
     return img, overflow
 
 
-@partial(jax.jit, static_argnames=("width", "height", "cfg", "impl"))
-def _render_banded_bound(model, topos, rays_bands, width, height, cfg, impl):
+@partial(jax.jit, static_argnames=("width", "height", "cfg", "impl",
+                                   "remat"))
+def _render_banded_bound(model, topos, rays_bands, width, height, cfg, impl,
+                         remat: bool = True):
     """Render against HELD per-band topologies (leading axis = band).
 
     The banded analog of tiled._render_from_topology: per-frame work is one
@@ -167,7 +169,15 @@ def _render_banded_bound(model, topos, rays_bands, width, height, cfg, impl):
         img = untile(acc, width, lh, cfg.tile_size)
         return overflow + binned.overflow, img
 
-    overflow, bands = jax.lax.scan(jax.checkpoint(body),
+    # remat=True (jax.checkpoint): backward re-runs each band's parameter
+    # gather + forward kernel instead of holding residuals — O(pairs/band)
+    # memory.  remat=False: the scan saves every band's residuals (chunks
+    # ~0.73 GB/band at 5M/4-band scale); the 5M trace showed the remat
+    # re-pays the band's whole forward INCLUDING its ~11.6 ns/row param
+    # gather (~250 ms/frame at 5M) — when the residuals fit HBM, turning
+    # remat off buys that back.
+    body_fn = jax.checkpoint(body) if remat else body
+    overflow, bands = jax.lax.scan(body_fn,
                                    jnp.zeros((), jnp.int32),
                                    (rays_bands, topos))
     img = unband_image(bands, width, height, cfg.tile_size)
@@ -185,11 +195,16 @@ class BandedRenderer:
 
     def __init__(self, width: int, height: int, n_bands: int,
                  cfg: RenderConfig = DEFAULT_CONFIG,
-                 capacity: Optional[tuple] = None, impl: str = "auto"):
+                 capacity: Optional[tuple] = None, impl: str = "auto",
+                 remat: bool = True):
         assert (height // cfg.tile_size) % n_bands == 0, (height, n_bands)
         self.width, self.height, self.n_bands = width, height, n_bands
         self.cfg, self.capacity = cfg, capacity
         self.impl = _resolve_impl(impl)
+        #: False = the band scan saves residuals instead of rematerializing
+        #: each band's gather+forward in the backward (see
+        #: _render_banded_bound) — faster when the residuals fit HBM
+        self.remat = remat
         #: compact grad-reduce budgets (0 = XLA prefix fallback at scale);
         #: set by plan() so bound topologies carry a CompactReducePlan
         self.capacity_live = 0
@@ -246,7 +261,7 @@ class BandedRenderer:
         topos, rays_bands = self._bound
         img, overflow = _render_banded_bound(
             model, topos, rays_bands, self.width, self.height,
-            self.cfg, self.impl)
+            self.cfg, self.impl, remat=self.remat)
         return {
             "rgb": img[..., 0:3],
             "depth": img[..., 3],

@@ -702,28 +702,18 @@ def plan_compact_reduce_from_table(tab: FrameCullTable, proj, width, height,
     """Host plan for the COMPACT grad-reduce layout (segreduce.py).
 
     Returns (capacity_live, capacity_reduce) for one band: live-gaussian
-    capacity (bucketed multiple of GROUP) and the reduction row count over
-    that compact space.  The row count is the MEASURED group-block need
-    (replicating build_reduce_plan_compact's ceil-per-group layout on the
-    host counts) x slack — the worst-case bound (survivors + one padded
-    block per group) over-allocated ~2x at 5M-gaussian pair densities of
-    ~1.2 pairs/gaussian, and every planned row costs a hard ~11.6 ns in
-    the backward permutation gather.  Runtime overflow of either budget is
-    folded into topology overflow (eager re-plan contract)."""
+    capacity (bucketed multiple of GROUP) and the DENSE reduction row
+    count — the alignment-free layout's rows are exactly the surviving
+    pairs (x slack), nothing else, and every planned row costs a hard
+    ~11.6 ns in the backward permutation gather.  Runtime overflow of
+    either budget is folded into topology overflow (re-plan contract)."""
     _, per_tile, _, _, live_counts = _host_expand_cull(tab, proj, width,
                                                        height, cfg, band)
-    lc = live_counts[live_counts > 0]
-    n_live = int(lc.size)
+    n_live = int((live_counts > 0).sum())
+    survivors = int(per_tile.sum())
     cap_live = _bucket_capacity(int(math.ceil(max(n_live, 1) * slack)),
                                 GROUP, ratio=1.1)
-    # exact block need: per compact group of GROUP live gaussians, rows
-    # round up to whole GROUP blocks (>= 1 per group, incl. empty tail)
-    pad_g = (-n_live) % GROUP
-    gt = np.pad(lc, (0, pad_g)).reshape(-1, GROUP).sum(axis=1)
-    blocks = np.maximum(-(-gt // GROUP), 1).sum()
-    blocks += cap_live // GROUP - gt.size          # empty planned tail
-    need = int(blocks) * GROUP
-    cap_r = -(-int(math.ceil(need * slack)) // (GROUP * 8)) * (GROUP * 8)
+    cap_r = plan_rows_compact(int(math.ceil(survivors * slack)))
     return cap_live, cap_r
 
 

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .segreduce import GROUP, CompactReducePlan, segment_reduce
+from .segreduce import (GROUP, CompactReducePlan, segment_reduce,
+                        segment_reduce_compact)
 
 
 def blocked_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
@@ -126,19 +127,22 @@ def _bwd_segreduce(n_rows, red, bar_flat):
 
 
 def _bwd_segreduce_compact(n_rows, red: CompactReducePlan, bar_flat):
-    """Compact-space Pallas segreduce + ONE N-row expansion gather.
+    """Alignment-free compact Pallas segreduce + ONE N-row expansion gather.
 
-    The at-scale (banded) default: group padding is O(live gaussians)
-    instead of O(N), and the expansion back to the full parameter table is
-    one N-row gather where the prefix fallback paid two boundary gathers
-    plus a capacity-length blocked cumsum (segreduce.CompactReducePlan)."""
+    The at-scale (banded) default: the permutation gather pays exactly the
+    SURVIVOR row count (no group-alignment padding — worth ~40% of the rows
+    at config[2]'s ~1.2 pairs/gaussian density), and the expansion back to
+    the full parameter table is one N-row gather where the prefix fallback
+    paid two boundary gathers plus a capacity-length blocked cumsum
+    (segreduce.CompactReducePlan)."""
     p_pad = bar_flat.shape[0]
     c = bar_flat.shape[1]
     bar_pre = bar_flat[jnp.minimum(red.slot, p_pad - 1)]
-    n_groups_c = red.delta.shape[0]
+    n_groups_c = red.out_shape.shape[0]
     cap_live = n_groups_c * GROUP
     interpret = jax.default_backend() != "tpu"
-    out = segment_reduce(bar_pre, red, n_groups_c, interpret=interpret)
+    out = segment_reduce_compact(bar_pre, red, n_groups_c,
+                                 interpret=interpret)
     src = red.full_src                                      # (N,)
     full = jnp.where((src < cap_live)[:, None],
                      out[jnp.minimum(src, cap_live - 1)], 0.0)

@@ -68,28 +68,42 @@ class ReducePlan(NamedTuple):
 
 
 class CompactReducePlan(NamedTuple):
-    """Grouped reduction layout over LIVE-gaussian compact ids (at scale).
+    """ALIGNMENT-FREE grouped reduction over live-gaussian compact ids.
 
-    The full-space ReducePlan pads >= 1 block per group of 256 consecutive
-    gaussian IDS — O(N) rows regardless of how many gaussians a band
-    actually touches, which is why the r3 code gated the Pallas segreduce
-    off above 1.5M gaussians.  This variant renumbers the band's live
-    gaussians 0..n_live-1 (order-preserving, so live pairs keep their
-    contiguity) and builds the same group-block layout in that compact
-    space: padding is O(n_live), and a single (N,)-row expansion gather
-    (`full_src`) lifts the compact per-gaussian sums back to the full
-    parameter table — one N-row gather where the XLA prefix fallback paid
-    two (its cum[hi-1]/cum[lo-1] boundary gathers) plus a capacity-length
-    blocked cumsum.
+    The full-space ReducePlan pads >= 1 block per group of GROUP
+    consecutive gaussian IDS — O(N) rows regardless of how many gaussians a
+    band touches (the r3 >1.5M gate), and even a compacted group-aligned
+    layout wastes ~40% of its rows at config[2] pair densities
+    (~1.2 live pairs/gaussian: a 256-gaussian group holds ~307 pairs and
+    must round to 512).  This plan removes ALIGNMENT PADDING ENTIRELY:
+
+      * live gaussians are renumbered 0..n_live-1 (order-preserving), and
+        live pairs are laid out DENSELY in rank order — rows == survivors,
+        nothing else;
+      * because every compact id owns >= 1 pair, a GROUP-row input block
+        spans at most GROUP+1 consecutive compact ids, i.e. it touches at
+        most TWO output group blocks (k0 = first cid >> shift, and k0+1) —
+        and k0 is nondecreasing by steps of <= 1 across blocks, so both
+        output streams revisit consecutively (VMEM-resident accumulators);
+      * the kernel runs TWO 0/1-selection matmuls per block into dual
+        accumulators `out_a[k0]` (rows of group k0) and `out_b[k0]` (rows
+        of group k0+1); the final per-gaussian table is
+        out_a + shift_one_block(out_b) — one contiguous pass;
+      * one (N,)-row expansion gather (`full_src`) lifts the compact sums
+        back to the full parameter table (the prefix fallback paid two
+        boundary gathers plus a capacity-length blocked cumsum).
     """
-    slot: jnp.ndarray     # (cap_r,) int32: padded chunk slot per row
-    gloc: jnp.ndarray     # (cap_r // 256, 256) int32: compact id - 256*group
-    out_idx: jnp.ndarray  # (cap_r // 256,) int32: output compact group
-    first: jnp.ndarray    # (cap_r // 256,) int32: 1 = first block of group
+    slot: jnp.ndarray     # (cap_r,) int32: padded chunk slot per live rank
+    cloc: jnp.ndarray     # (cap_r // G, G) int32: compact id of each row
+                          #    MINUS G * k0 of its block (in [0, 2G); pad
+                          #    rows carry an out-of-range sentinel)
+    k0: jnp.ndarray       # (cap_r // G,) int32: first output group of block
+    first: jnp.ndarray    # (cap_r // G,) int32: 1 = k0 changed (zero both
+                          #    accumulators)
     full_src: jnp.ndarray  # (N,) int32: gaussian -> compact id
                            #    (cap_live = dead/overflowed -> zero row)
-    delta: jnp.ndarray    # (cap_live // 256,) int32 per-group row offset;
-                          #    its STATIC shape also carries cap_live
+    out_shape: jnp.ndarray  # (cap_live // G,) int32 marker; its STATIC
+                            #    shape carries cap_live
 
 
 def plan_rows(capacity: int, n_rows: int) -> int:
@@ -239,27 +253,90 @@ def build_reduce_plan(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
                       first=first), red_overflow
 
 
-def plan_rows_compact(survivors: int, cap_live: int) -> int:
-    """Static reduction rows for `survivors` live pairs over a compact
-    space of `cap_live` gaussians (one padded block per compact group)."""
-    n_groups_c = cap_live // GROUP
-    raw = survivors + GROUP * n_groups_c
-    return -(-raw // _ROW_QUANT) * _ROW_QUANT
+def plan_rows_compact(survivors: int, cap_live: int = 0) -> int:
+    """Static reduction rows for `survivors` live pairs: DENSE rank layout
+    (alignment-free), just quantized for the (8, GROUP) cloc blocks."""
+    return -(-max(survivors, 1) // _ROW_QUANT) * _ROW_QUANT
+
+
+def _kernel_compact(k0_ref, fi_ref, cl_ref, bar_ref, outa_ref, outb_ref):
+    b = pl.program_id(0)
+
+    @pl.when(fi_ref[b] == 1)
+    def _():
+        outa_ref[...] = jnp.zeros_like(outa_ref)
+        outb_ref[...] = jnp.zeros_like(outb_ref)
+
+    cl = cl_ref[b % 8, :]                                  # (GROUP,) int32
+    i = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
+    sa = (i == cl[None, :]).astype(jnp.float32)
+    sb = (i == (cl[None, :] - GROUP)).astype(jnp.float32)
+    outa_ref[...] += jnp.dot(sa, bar_ref[...],
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    outb_ref[...] += jnp.dot(sb, bar_ref[...],
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
+def segment_reduce_compact(bar_pre: jnp.ndarray, red: "CompactReducePlan",
+                           n_groups: int, interpret: bool = False):
+    """(cap_r, C) dense live-rank rows -> (n_groups * GROUP, C) compact sums.
+
+    Dual-accumulator kernel (see CompactReducePlan): rows defined for every
+    compact id with >= 1 live pair; trailing rows beyond the last live
+    gaussian are undefined and must be masked by the caller's expansion
+    (full_src sentinel) — same overflow/definedness contract as
+    segment_reduce.
+    """
+    cap_r, c = bar_pre.shape
+    nb = cap_r // GROUP
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, GROUP), lambda b, k0, fi: (b // 8, 0)),
+            pl.BlockSpec((GROUP, c), lambda b, k0, fi: (b, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((GROUP, c), lambda b, k0, fi: (k0[b], 0)),
+            pl.BlockSpec((GROUP, c), lambda b, k0, fi: (k0[b], 0)),
+        ),
+    )
+    out_a, out_b = pl.pallas_call(
+        _kernel_compact, grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_groups * GROUP, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups * GROUP, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(red.k0, red.first, red.cloc, bar_pre)
+    # group k's rows = out_a[k] + out_b[k-1] (out_b[k] holds group k+1)
+    shifted = jnp.concatenate(
+        [jnp.zeros((GROUP, c), jnp.float32), out_b[:-GROUP]])
+    return out_a + shifted
+
+
+#: out-of-range sentinel for pad rows' compact ids (cloc stays > 2*GROUP
+#: after subtracting any real G*k0; >> GROUP_SHIFT stays clampable)
+_CID_PAD = 0x3FFFFFFF
 
 
 def build_reduce_plan_compact(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
                               offsets: jnp.ndarray, counts: jnp.ndarray,
                               n: int, capacity: int, capacity_padded: int,
                               cap_live: int, cap_r: int):
-    """Compact-space grouped reduction layout (see CompactReducePlan).
+    """Alignment-free compact reduction layout (see CompactReducePlan).
 
     `cap_live` (multiple of GROUP) is the planned live-gaussian capacity,
-    `cap_r` the planned reduction row count (plan_rows_compact).  Live
-    gaussians beyond cap_live, and live rows beyond cap_r, are counted into
-    the returned overflow — the standard eager re-plan contract.  All index
-    math is topology-time (amortized over the bind/refresh cadence); the
-    only per-backward costs are the cap_r-row permutation gather, the
-    segreduce kernel, and ONE (N,)-row expansion gather.
+    `cap_r` the planned DENSE row count (plan_rows_compact(survivors)).
+    Live gaussians beyond cap_live and live rows beyond cap_r are counted
+    into the returned overflow — the standard eager re-plan contract.  All
+    index math is topology-time; the per-backward costs are the cap_r-row
+    permutation gather (== survivors, no alignment padding), the
+    dual-accumulator kernel, one contiguous shift-add pass, and ONE
+    (N,)-row expansion gather.
     """
     assert capacity_padded < DEAD_SLOT, capacity_padded
     assert cap_live % GROUP == 0 and cap_r % GROUP == 0, (cap_live, cap_r)
@@ -273,7 +350,6 @@ def build_reduce_plan_compact(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
         [jnp.zeros((1,), jnp.int32), lrank + 1])            # live before p
     g_pair_start = live_cum0[jnp.minimum(offsets, capacity)]          # (N,)
     g_pair_end = live_cum0[jnp.minimum(offsets + counts, capacity)]   # (N,)
-    total_live = live_cum0[-1]
 
     # order-preserving compact renumbering of live gaussians
     assert n > 0, n
@@ -285,49 +361,28 @@ def build_reduce_plan_compact(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
     #: gaussian -> compact id; dead or live-overflowed -> cap_live sentinel
     full_src = jnp.where(in_cap, cid_raw, cap_live)
 
-    # per-compact-group live-pair start: scatter each live gaussian's pair
-    # start to its compact slot, fill the tail with the live total
-    start_tbl = jnp.full((cap_live,), 0, jnp.int32)
-    start_tbl = start_tbl.at[jnp.where(in_cap, cid_raw, cap_live)].max(
-        g_pair_start, mode="drop")
-    # unwritten trailing compact slots must read as total_live: they have
-    # monotone starts, so a cummax over (scatter, then tail-fill) works
-    tail = jnp.where(jnp.arange(cap_live, dtype=jnp.int32)
-                     >= jnp.minimum(n_live, cap_live), total_live, 0)
-    start_tbl = jax.lax.cummax(jnp.maximum(start_tbl, tail))
-    grp_start = start_tbl.reshape(n_groups_c, GROUP)[:, 0]  # (n_groups_c,)
-    grp_end = jnp.concatenate([grp_start[1:], total_live[None]])
-    gt = jnp.maximum(grp_end - grp_start, 0)
-
-    # blocks per compact group (>= 1: every planned output block gets
-    # zero-initialized even for empty trailing groups)
-    bk = jnp.maximum((gt + GROUP - 1) // GROUP, 1)
-    bstart = jnp.cumsum(bk) - bk
-    overflow = overflow + jnp.maximum(bstart[-1] + bk[-1] - nb, 0)
-    delta = GROUP * bstart - grp_start                      # (n_groups_c,)
-
-    # pair -> compact id -> destination row
+    # dense layout: live pair of rank r lands at row r — TWO narrow int32
+    # scatters (slot + compact id), nothing else
     cid_pair = full_src[pair_g]                             # (capacity,)
     ok = live & (cid_pair < cap_live)
-    kp = jnp.minimum(cid_pair >> GROUP_SHIFT, n_groups_c - 1)
-    dest = delta[kp] + lrank
-    dest = jnp.where(ok & (dest < cap_r), dest, cap_r)
+    dest = jnp.where(ok & (lrank < cap_r), lrank, cap_r)
+    slot = jnp.full((cap_r,), DEAD_SLOT, jnp.int32)
+    slot = slot.at[dest].set(jnp.minimum(pair_pos, DEAD_SLOT), mode="drop")
+    cid_tbl = jnp.full((cap_r,), _CID_PAD, jnp.int32)
+    cid_tbl = cid_tbl.at[dest].set(cid_pair, mode="drop")
 
-    packed = ((cid_pair & (GROUP - 1)) << 24) | jnp.minimum(pair_pos, DEAD_SLOT)
-    table = jnp.full((cap_r,), DEAD_SLOT, jnp.int32)
-    table = table.at[dest].set(packed, mode="drop")
-    slot = table & DEAD_SLOT
-    gloc = (table >> 24) & 0xFF
-    gloc = jnp.where(slot >= capacity_padded, GROUP, gloc).reshape(nb, GROUP)
-
-    arr = jnp.zeros((nb,), jnp.int32)
-    arr = arr.at[jnp.minimum(bstart, nb - 1)].max(
-        jnp.arange(n_groups_c, dtype=jnp.int32), mode="drop")
-    out_idx = jax.lax.cummax(arr)
-    first = jnp.zeros((nb,), jnp.int32).at[jnp.minimum(bstart, nb - 1)].set(
-        1, mode="drop")
-    red_overflow = jnp.sum((ok & (delta[kp] + lrank >= cap_r))
-                           .astype(jnp.int32))
-    return CompactReducePlan(slot=slot, gloc=gloc, out_idx=out_idx,
-                             first=first, full_src=full_src, delta=delta), \
+    # per-block first output group + local ids; k0 is nondecreasing with
+    # steps <= 1 (every compact id owns >= 1 row), so both accumulator
+    # streams revisit consecutively.  All-pad trailing blocks clamp onto
+    # the last real group and add exact zeros.
+    blk = cid_tbl.reshape(nb, GROUP)
+    k0 = jnp.minimum(blk[:, 0] >> GROUP_SHIFT, n_groups_c - 1)  # (nb,)
+    cloc = blk - (k0[:, None] << GROUP_SHIFT)               # (nb, GROUP)
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (k0[1:] != k0[:-1]).astype(jnp.int32)])
+    red_overflow = jnp.sum((ok & (lrank >= cap_r)).astype(jnp.int32))
+    return CompactReducePlan(
+        slot=slot, cloc=cloc, k0=k0, first=first, full_src=full_src,
+        out_shape=jnp.zeros((n_groups_c,), jnp.int32)), \
         overflow + red_overflow

@@ -187,6 +187,7 @@ class Trainer:
     def _build_banded_step(self):
         width, height, cfg = self.width, self.height, self.cfg
         impl, tc, optimizer = self.impl, self.tc, self.optimizer
+        remat = self._banded.remat
         from ..render.banded import _render_banded_bound
 
         def step(state, topos, rays_bands, target):
@@ -195,7 +196,7 @@ class Trainer:
             def loss_fn(m):
                 img, ovf = _render_banded_bound(m, topos,
                                                 rays_bands, width, height,
-                                                cfg, impl)
+                                                cfg, impl, remat=remat)
                 rgb = img[..., 0:3]
                 l1 = jnp.mean(jnp.abs(rgb - target))
                 l2 = jnp.mean((rgb - target) ** 2)
