@@ -44,28 +44,49 @@ EVAL800_DIR = os.path.join(os.path.dirname(GOLDEN_DIR), "eval800_r04")
 
 @pytest.mark.skipif(not os.path.isdir(EVAL800_DIR),
                     reason="800^2 eval artifacts not yet committed")
-def test_eval800_matches_committed():
-    """Reference-protocol eval set (16 views at 800x800, the reference's
-    results/evaluations scale): re-render and compare against the committed
-    compiled-kernel artifact.  PNGs bound the whole image at 8-bit
-    quantization + impl tolerance; the committed f32 center crops pin the
-    kernel numerics tightly.  On CPU only 2 views are re-rendered (the
-    interpreter at 800^2 is ~40x the 128^2 goldens); the chip runs all 16.
-    """
+def test_eval800_artifact_integrity():
+    """Committed 800^2 artifact self-consistency (runs everywhere, cheap):
+    every view's committed f32 center crop must equal its committed PNG
+    region to 8-bit quantization — catches artifact corruption or a
+    half-regenerated set without rendering anything."""
     from gvrt_tpu.io.image import load_png
     with open(os.path.join(EVAL800_DIR, "meta.json")) as f:
         meta = json.load(f)
-    n = len(meta["views"])
-    views = list(range(n)) if os.environ.get("GVRT_TEST_TPU") else [0, n // 2]
-    rendered = dict(golden_scenes.render_eval800(IMPL, views=views))
-    crop_atol = 2e-5 if os.environ.get("GVRT_TEST_TPU") else 4e-3
+    assert len(meta["views"]) >= 16 and meta["size"] == 800
+    for name in meta["views"]:
+        png = load_png(os.path.join(EVAL800_DIR, "renders",
+                                    f"{name}.png")).astype(np.float32) / 255.0
+        crop = np.load(os.path.join(EVAL800_DIR, f"{name}_crop.npy"))
+        c0 = (800 - crop.shape[0]) // 2
+        np.testing.assert_allclose(
+            np.clip(crop, 0, 1),
+            png[c0:c0 + crop.shape[0], c0:c0 + crop.shape[1]],
+            atol=1.0 / 255.0, err_msg=name)
+
+
+@pytest.mark.skipif(not os.environ.get("GVRT_TEST_TPU"),
+                    reason="800^2 re-render needs the compiled kernel; the "
+                           "CPU interpreter takes >10 min for 2 views")
+@pytest.mark.skipif(not os.path.isdir(EVAL800_DIR),
+                    reason="800^2 eval artifacts not yet committed")
+def test_eval800_matches_committed():
+    """Reference-protocol eval set (16 views at 800x800, the reference's
+    results/evaluations scale): re-render ON CHIP and compare against the
+    committed compiled-kernel artifact.  PNGs bound the whole image at
+    8-bit quantization; the committed f32 center crops pin the kernel
+    numerics tightly."""
+    from gvrt_tpu.io.image import load_png
+    with open(os.path.join(EVAL800_DIR, "meta.json")) as f:
+        meta = json.load(f)
+    rendered = dict(golden_scenes.render_eval800(
+        IMPL, views=list(range(len(meta["views"])))))
     for name, rgb in rendered.items():
         png = load_png(os.path.join(EVAL800_DIR, "renders",
                                     f"{name}.png")).astype(np.float32) / 255.0
         np.testing.assert_allclose(np.clip(rgb, 0, 1), png,
-                                   atol=1.5 / 255.0 + crop_atol, err_msg=name)
+                                   atol=1.5 / 255.0 + 2e-5, err_msg=name)
         crop = np.load(os.path.join(EVAL800_DIR, f"{name}_crop.npy"))
         c0 = (800 - crop.shape[0]) // 2
         np.testing.assert_allclose(
             rgb[c0:c0 + crop.shape[0], c0:c0 + crop.shape[1]], crop,
-            atol=crop_atol, err_msg=name + ":crop")
+            atol=2e-5, err_msg=name + ":crop")
