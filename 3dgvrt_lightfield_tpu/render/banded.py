@@ -30,6 +30,7 @@ from functools import partial
 from typing import Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from ..config import RenderConfig, DEFAULT_CONFIG
@@ -144,7 +145,7 @@ def _render_banded(act, w2c, proj, rays_bands, width, height, n_bands, cfg,
 @partial(jax.jit, static_argnames=("width", "height", "cfg", "impl",
                                    "remat"))
 def _render_banded_bound(model, topos, rays_bands, width, height, cfg, impl,
-                         remat: bool = True):
+                         remat: str = "full"):
     """Render against HELD per-band topologies (leading axis = band).
 
     The banded analog of tiled._render_from_topology: per-frame work is one
@@ -164,19 +165,37 @@ def _render_banded_bound(model, topos, rays_bands, width, height, cfg, impl,
 
     def body(overflow, inp):
         rays_b, topo = inp
-        binned = binned_scene(gather_from_rows(rows64, topo, cfg), topo)
+        chunks = gather_from_rows(rows64, topo, cfg)
+        if remat == "gather":
+            # name the gathered parameter rows so the "gather" checkpoint
+            # policy saves THEM (the band's ~11.6 ns/row permutation gather,
+            # ~200 ms/frame at 5M) while the cheap-to-recompute kernel
+            # intermediates are still rematerialized
+            chunks = jax.ad_checkpoint.checkpoint_name(chunks, "band_chunks")
+        binned = binned_scene(chunks, topo)
         acc = forward_dispatch(binned, rays_b, cfg, impl)
         img = untile(acc, width, lh, cfg.tile_size)
         return overflow + binned.overflow, img
 
-    # remat=True (jax.checkpoint): backward re-runs each band's parameter
-    # gather + forward kernel instead of holding residuals — O(pairs/band)
-    # memory.  remat=False: the scan saves every band's residuals (chunks
-    # ~0.73 GB/band at 5M/4-band scale); the 5M trace showed the remat
-    # re-pays the band's whole forward INCLUDING its ~11.6 ns/row param
-    # gather (~250 ms/frame at 5M) — when the residuals fit HBM, turning
-    # remat off buys that back.
-    body_fn = jax.checkpoint(body) if remat else body
+    # Memory/recompute ladder over the band scan (5M measurements in
+    # SCALE_r04b.md):
+    #   "full"   jax.checkpoint: backward re-runs each band's parameter
+    #            gather + forward kernel — O(pairs/n_bands) residual memory;
+    #   "gather" checkpoint with save_only_these_names("band_chunks"):
+    #            holds each band's gathered (chunks) rows (~0.73 GB/band at
+    #            5M/4 bands) so the backward skips the gather re-pay but
+    #            still recomputes the kernel forward;
+    #   "none"   no checkpoint: all residuals held (did NOT fit HBM at
+    #            5M/4 bands — kept for smaller scenes).
+    if remat == "full":
+        body_fn = jax.checkpoint(body)
+    elif remat == "gather":
+        body_fn = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.save_only_these_names(
+                "band_chunks"))
+    else:
+        assert remat == "none", remat
+        body_fn = body
     overflow, bands = jax.lax.scan(body_fn,
                                    jnp.zeros((), jnp.int32),
                                    (rays_bands, topos))
@@ -196,14 +215,13 @@ class BandedRenderer:
     def __init__(self, width: int, height: int, n_bands: int,
                  cfg: RenderConfig = DEFAULT_CONFIG,
                  capacity: Optional[tuple] = None, impl: str = "auto",
-                 remat: bool = True):
+                 remat: str = "full"):
         assert (height // cfg.tile_size) % n_bands == 0, (height, n_bands)
         self.width, self.height, self.n_bands = width, height, n_bands
         self.cfg, self.capacity = cfg, capacity
         self.impl = _resolve_impl(impl)
-        #: False = the band scan saves residuals instead of rematerializing
-        #: each band's gather+forward in the backward (see
-        #: _render_banded_bound) — faster when the residuals fit HBM
+        #: band-scan recompute/memory ladder: "full" | "gather" | "none"
+        #: (see _render_banded_bound)
         self.remat = remat
         #: compact grad-reduce budgets (0 = XLA prefix fallback at scale);
         #: set by plan() so bound topologies carry a CompactReducePlan

@@ -253,13 +253,13 @@ def test_banded_compact_reduce_end_to_end_grads():
 
 
 def test_banded_remat_off_matches():
-    """remat=False (scan saves residuals instead of rematerializing each
-    band's gather+forward): identical images and gradients."""
+    """remat ladder ("full"/"gather"/"none"): identical images and
+    gradients across all recompute policies."""
     from gvrt_tpu.render.banded import BandedRenderer
     model = _scene(180, seed=21)
     cam = g3.Camera.from_fovy(32, 32, 60.0, np.eye(4))
     outs, grads = [], []
-    for remat in (True, False):
+    for remat in ("full", "gather", "none"):
         r = BandedRenderer(32, 32, 2, CFG, impl=IMPL_PL, remat=remat)
         r.bind(model, cam)
         out = r.render_bound(model)
@@ -269,10 +269,11 @@ def test_banded_remat_off_matches():
             o = r.render_bound(m)
             return jnp.mean(o["rgb"] ** 2) + 1e-2 * jnp.mean(o["depth"])
         grads.append(jax.grad(loss)(model))
-    np.testing.assert_allclose(outs[1], outs[0], atol=1e-6)
-    for field in ("means", "scales_log", "opacity_logit", "sh_dc"):
-        a = np.asarray(getattr(grads[0], field))
-        b = np.asarray(getattr(grads[1], field))
-        scale = max(np.abs(a).max(), 1e-10)
-        np.testing.assert_allclose(b / scale, a / scale, atol=2e-6,
-                                   err_msg=field)
+    for k in (1, 2):
+        np.testing.assert_allclose(outs[k], outs[0], atol=1e-6)
+        for field in ("means", "scales_log", "opacity_logit", "sh_dc"):
+            a = np.asarray(getattr(grads[0], field))
+            b = np.asarray(getattr(grads[k], field))
+            scale = max(np.abs(a).max(), 1e-10)
+            np.testing.assert_allclose(b / scale, a / scale, atol=2e-6,
+                                       err_msg=f"{field}:{k}")
