@@ -11,6 +11,15 @@ from gvrt_tpu.render.tiled import TiledRenderer
 from gvrt_tpu.train import TrainConfig, Trainer
 
 CFG = g3.DEFAULT_CONFIG.replace(tile_size=8, chunk_size=128)
+
+
+#: these tests NEED the multi-device CPU mesh (conftest); on the real
+#: chip there is one device and shard_map over a size-1 mesh would
+#: silently render band 0 only (zero grads elsewhere) — skip, the
+#: 8-device virtual mesh + driver dryrun cover this logic
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8,
+    reason="needs a >=8-device mesh (virtual CPU devices)")
 RES = 16
 
 

@@ -9,6 +9,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 import gvrt_tpu as g3
 from gvrt_tpu.parallel import (make_mesh, plan_capacity_sharded,
                                render_image_tile_sharded)
@@ -16,6 +18,15 @@ from gvrt_tpu.render.binning import band_rays, unband_image, tile_rays, untile
 from gvrt_tpu.render.tiled import render_image_tiled
 
 CFG = g3.DEFAULT_CONFIG.replace(tile_size=8, chunk_size=64)
+
+
+#: these tests NEED the multi-device CPU mesh (conftest); on the real
+#: chip there is one device and shard_map over a size-1 mesh would
+#: silently render band 0 only (zero grads elsewhere) — skip, the
+#: 8-device virtual mesh + driver dryrun cover this logic
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 4,
+    reason="needs a >=4-device mesh (virtual CPU devices)")
 
 
 def _scene(n=160, seed=11):

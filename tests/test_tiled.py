@@ -182,10 +182,11 @@ def test_bound_topology_replay_matches_render():
     g_f = jax.grad(loss_full)(model)
     # quaternion-chain cancellation is ordering-sensitive between the hand
     # VJP and autodiff (and between XLA fusion variants of either): ~1e-4
-    # normalized on near-cancelling elements, both CPU and chip.  The
-    # strict per-implementation bars live in test_rows_vjp (2e-6 CPU) and
-    # the finite-difference checks in test_banded.
-    atol = 1e-4
+    # normalized on near-cancelling elements on CPU, measured 1.44e-4 on
+    # chip (driver-round-4 suite).  The strict per-implementation bars live
+    # in test_rows_vjp (2e-6 CPU) and the finite-difference checks in
+    # test_banded.
+    atol = 3e-4 if os.environ.get("GVRT_TEST_TPU") else 1e-4
     for field in ("means", "scales_log", "quats", "opacity_logit", "sh_dc"):
         a = np.asarray(getattr(g_f, field))
         b = np.asarray(getattr(g_b, field))
