@@ -29,3 +29,18 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full suite compiles hundreds of distinct-shape XLA CPU programs;
+    with everything cached in-process, host RSS grows until an XLA compile
+    thread segfaults late in the run (observed twice in test_tiled at
+    ~90% through `backend_compile_and_load`).  Per-module cache clearing
+    keeps the peak bounded; per-test would thrash shared fixtures.
+    """
+    yield
+    import jax
+    jax.clear_caches()
