@@ -45,6 +45,11 @@ class TrainConfig:
     #: banded (n_bands > 1) training: rebuild the held per-band topologies
     #: every N steps (the bench's K-step staleness contract)
     refresh_every: int = 10
+    #: band-scan recompute policy for banded training: "full" | "gather" |
+    #: "none" (render/banded._render_banded_bound).  "gather" measured
+    #: -44 ms/frame at config[2] scale (SCALE_r04b.md) at +0.73 GB/band
+    #: of held residuals
+    banded_remat: str = "full"
     #: "adam" | "adafactor".  Adafactor factors the second moment, cutting
     #: optimizer state from 2x to ~1x+eps of the parameter bytes — at
     #: config[2] scale (5M gaussians) Adam's moments alone are ~2.7 GB and
@@ -128,7 +133,7 @@ class Trainer:
             self._banded = BandedRenderer(
                 width, height, n_bands, cfg,
                 capacity=None if capacity == (0, 0) else capacity,
-                impl=impl)
+                impl=impl, remat=tc.banded_remat)
             self._bind_age = None
             self._bind_key = None
             self.last_overflow = None

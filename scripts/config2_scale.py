@@ -38,8 +38,10 @@ model.means = model.means.at[:, 2].add(-4.0)
 cam = g3.Camera.from_fovy(W, H, 60.0, np.eye(4))
 
 t0 = time.time()
-cap, cap_pad = plan_capacity_banded(model, cam, BANDS, cfg)
+cap, cap_pad, cap_live, cap_r = plan_capacity_banded(model, cam, BANDS, cfg,
+                                                     with_reduce=True)
 print(f"plan: {time.time()-t0:.1f}s  band capacity {(cap, cap_pad)} "
+      f"compact reduce (live {cap_live}, rows {cap_r}) "
       f"(pairs/band ~{cap}, x{BANDS} bands)", flush=True)
 print(f"per-band chunk array: {cap_pad * 64 * 4 / 1e9:.2f} GB "
       f"(unbanded would be ~{BANDS * cap_pad * 64 * 4 / 1e9:.1f} GB "
@@ -49,7 +51,8 @@ target = jnp.zeros((H, W, 3)) + 0.3
 
 
 def loss(m):
-    out = render_image_banded(m, cam, BANDS, cfg, capacity=(cap, cap_pad))
+    out = render_image_banded(m, cam, BANDS, cfg,
+                              capacity=(cap, cap_pad, cap_live, cap_r))
     return jnp.mean((out["rgb"] - target) ** 2), out
 
 
@@ -124,7 +127,12 @@ print(f"fwd-only: {best_f*1e3:.1f} ms/frame  "
 # every K steps in training exactly like the flagship bench) ----
 from gvrt_tpu.render.banded import BandedRenderer, _render_banded_bound
 
-r = BandedRenderer(W, H, BANDS, cfg, capacity=(cap, cap_pad))
+# best measured round-4 config (SCALE_r04b.md): alignment-free compact
+# reduce + the "gather" checkpoint policy (saves each band's gathered
+# parameter rows, rematerializes only the kernel forward)
+r = BandedRenderer(W, H, BANDS, cfg, capacity=(cap, cap_pad),
+                   remat="gather")
+r.capacity_live, r.capacity_reduce = cap_live, cap_r
 t0 = time.time()
 topos = r.bind(model, cam)
 sync(topos.chunk_tile)
@@ -195,8 +203,10 @@ gc.collect()
 from gvrt_tpu.train import TrainConfig, Trainer
 
 tc = TrainConfig(total_steps=10, refresh_every=10,
-                 optimizer="adafactor")
+                 optimizer="adafactor", banded_remat="gather")
 trainer = Trainer(W, H, cfg, tc, capacity=(cap, cap_pad), n_bands=BANDS)
+trainer._banded.capacity_live = cap_live
+trainer._banded.capacity_reduce = cap_r
 state = trainer.init(model)
 t0 = time.time()
 state, tloss = trainer.step(state, cam, target)
