@@ -127,13 +127,14 @@ def _bwd_segreduce(n_rows, red, bar_flat):
 
 
 def _bwd_segreduce_compact(n_rows, red: CompactReducePlan, bar_flat):
-    """Alignment-free compact Pallas segreduce + ONE N-row expansion gather.
+    """Alignment-free compact Pallas segreduce + windowed expansion gather.
 
     The at-scale (banded) default: the permutation gather pays exactly the
     SURVIVOR row count (no group-alignment padding — worth ~40% of the rows
     at config[2]'s ~1.2 pairs/gaussian density), and the expansion back to
-    the full parameter table is one N-row gather where the prefix fallback
-    paid two boundary gathers plus a capacity-length blocked cumsum
+    the full parameter table gathers only the plan's live-id WINDOW
+    (src_range, == N without span banding; the band's narrow contiguous
+    range with it) followed by one dynamic-slice write at `base`
     (segreduce.CompactReducePlan)."""
     p_pad = bar_flat.shape[0]
     c = bar_flat.shape[1]
@@ -143,12 +144,11 @@ def _bwd_segreduce_compact(n_rows, red: CompactReducePlan, bar_flat):
     interpret = jax.default_backend() != "tpu"
     out = segment_reduce_compact(bar_pre, red, n_groups_c,
                                  interpret=interpret)
-    src = red.full_src                                      # (N,)
-    full = jnp.where((src < cap_live)[:, None],
-                     out[jnp.minimum(src, cap_live - 1)], 0.0)
-    n = src.shape[0]
-    return jnp.concatenate(
-        [full, jnp.zeros((n_rows - n, c), full.dtype)])
+    src = red.src_range                                     # (W,)
+    sub = jnp.where((src < cap_live)[:, None],
+                    out[jnp.minimum(src, cap_live - 1)], 0.0)
+    full = jnp.zeros((n_rows, c), sub.dtype)
+    return jax.lax.dynamic_update_slice(full, sub, (red.base[0], 0))
 
 
 def _gather_bwd(chunk_size, res, bar):

@@ -38,10 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 #: Gaussians per output group == rows per input block (one MXU matmul).
-#: 128 halves the partially-filled-group padding rows the permutation
-#: gather pays for, at identical total MXU selection flops (the MXU tile
-#: is 128x128 either way).  Must be a power of two <= 256 (the packed
-#: scatter keeps the local index in 8 bits).
+#: Rejected alternative: GROUP = 128 would halve the partially-filled-group
+#: padding rows of the FULL-space plan at identical MXU selection flops,
+#: but the compact plan (the at-scale path since round 4) has no alignment
+#: padding at all, and halving GROUP doubles the grid steps and the
+#: scalar-prefetch map rows — 256 is kept.  Must be a power of two <= 256
+#: (the packed scatter keeps the local index in 8 bits).
 GROUP = 256
 GROUP_SHIFT = GROUP.bit_length() - 1
 #: reduction row count is padded to GROUP * 8 so the (8, GROUP) g_loc
@@ -89,9 +91,11 @@ class CompactReducePlan(NamedTuple):
         accumulators `out_a[k0]` (rows of group k0) and `out_b[k0]` (rows
         of group k0+1); the final per-gaussian table is
         out_a + shift_one_block(out_b) — one contiguous pass;
-      * one (N,)-row expansion gather (`full_src`) lifts the compact sums
-        back to the full parameter table (the prefix fallback paid two
-        boundary gathers plus a capacity-length blocked cumsum).
+      * one windowed expansion gather (`src_range`, width cap_range <= N)
+        plus a dynamic-slice write at `base` lifts the compact sums back to
+        the full parameter table (the prefix fallback paid two boundary
+        gathers plus a capacity-length blocked cumsum; span banding shrinks
+        the window to the band's contiguous live-id range).
     """
     slot: jnp.ndarray     # (cap_r,) int32: padded chunk slot per live rank
     cloc: jnp.ndarray     # (cap_r // G, G) int32: compact id of each row
@@ -100,8 +104,16 @@ class CompactReducePlan(NamedTuple):
     k0: jnp.ndarray       # (cap_r // G,) int32: first output group of block
     first: jnp.ndarray    # (cap_r // G,) int32: 1 = k0 changed (zero both
                           #    accumulators)
-    full_src: jnp.ndarray  # (N,) int32: gaussian -> compact id
-                           #    (cap_live = dead/overflowed -> zero row)
+    src_range: jnp.ndarray  # (cap_range,) int32: gaussian id (base+r) ->
+                            #    compact id (cap_live = dead/outside -> zero
+                            #    row).  cap_range == N when no id window is
+                            #    planned; with a y-sorted model + contiguous
+                            #    bands (span banding) it is the band's narrow
+                            #    live-id window and the expansion back to the
+                            #    (N+1, 64) table becomes cap_range gathered
+                            #    rows + ONE dynamic-slice write instead of N
+                            #    rows + full-table masks
+    base: jnp.ndarray       # (1,) int32: first gaussian id of the window
     out_shape: jnp.ndarray  # (cap_live // G,) int32 marker; its STATIC
                             #    shape carries cap_live
 
@@ -253,10 +265,14 @@ def build_reduce_plan(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
                       first=first), red_overflow
 
 
-def plan_rows_compact(survivors: int, cap_live: int = 0) -> int:
+def plan_rows_compact(survivors: int) -> int:
     """Static reduction rows for `survivors` live pairs: DENSE rank layout
-    (alignment-free), just quantized for the (8, GROUP) cloc blocks."""
-    return -(-max(survivors, 1) // _ROW_QUANT) * _ROW_QUANT
+    (alignment-free), quantized for the (8, GROUP) cloc blocks.  One extra
+    GROUP is budgeted because build_reduce_plan_compact RESERVES the last
+    block as all-pad — it claims the spill output group so its `first` flag
+    zero-initializes the accumulators there (see the k0 note in the
+    builder)."""
+    return -(-(max(survivors, 1) + GROUP) // _ROW_QUANT) * _ROW_QUANT
 
 
 def _kernel_compact(k0_ref, fi_ref, cl_ref, bar_ref, outa_ref, outb_ref):
@@ -326,7 +342,7 @@ _CID_PAD = 0x3FFFFFFF
 def build_reduce_plan_compact(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
                               offsets: jnp.ndarray, counts: jnp.ndarray,
                               n: int, capacity: int, capacity_padded: int,
-                              cap_live: int, cap_r: int):
+                              cap_live: int, cap_r: int, cap_range: int = 0):
     """Alignment-free compact reduction layout (see CompactReducePlan).
 
     `cap_live` (multiple of GROUP) is the planned live-gaussian capacity,
@@ -336,7 +352,15 @@ def build_reduce_plan_compact(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
     index math is topology-time; the per-backward costs are the cap_r-row
     permutation gather (== survivors, no alignment padding), the
     dual-accumulator kernel, one contiguous shift-add pass, and ONE
-    (N,)-row expansion gather.
+    cap_range-row expansion gather.
+
+    `cap_range` (0 or >= n disables the window) is the planned live-id
+    WINDOW width for span banding: with a y-sorted model and contiguous
+    tile-row bands, a band's live gaussians occupy a narrow contiguous id
+    range [base, base+cap_range), so the expansion gather pays that window
+    instead of all N rows (the r4 ~178 ms/frame expansion+mask bill at 5M,
+    SCALE_r04b).  Live ids falling outside the planned window count into
+    the returned overflow (re-plan contract).
     """
     assert capacity_padded < DEAD_SLOT, capacity_padded
     assert cap_live % GROUP == 0 and cap_r % GROUP == 0, (cap_live, cap_r)
@@ -361,11 +385,30 @@ def build_reduce_plan_compact(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
     #: gaussian -> compact id; dead or live-overflowed -> cap_live sentinel
     full_src = jnp.where(in_cap, cid_raw, cap_live)
 
+    # live-id window (span banding): src_range is the [base, base+cap_range)
+    # slice of the full map; live ids past the window are overflow
+    if cap_range <= 0 or cap_range >= n:
+        cap_range = n
+        base = jnp.zeros((1,), jnp.int32)
+    else:
+        any_live = jnp.any(lv)
+        lo = jnp.where(any_live, jnp.argmax(lv).astype(jnp.int32), 0)
+        hi = jnp.where(any_live,
+                       n - jnp.argmax(lv[::-1]).astype(jnp.int32), 0)
+        overflow = overflow + jnp.maximum(hi - lo - cap_range, 0)
+        base = jnp.clip(lo, 0, n - cap_range)[None]
+    src_range = jax.lax.dynamic_slice(full_src, (base[0],), (cap_range,))
+
     # dense layout: live pair of rank r lands at row r — TWO narrow int32
-    # scatters (slot + compact id), nothing else
+    # scatters (slot + compact id), nothing else.  The last GROUP rows are
+    # RESERVED all-pad (plan_rows_compact budgets for them; rows that would
+    # land there count into overflow below): this guarantees >= 1 trailing
+    # all-pad block whenever overflow == 0, which the spill-group claim
+    # below needs.
+    rows_cap = cap_r - GROUP
     cid_pair = full_src[pair_g]                             # (capacity,)
     ok = live & (cid_pair < cap_live)
-    dest = jnp.where(ok & (lrank < cap_r), lrank, cap_r)
+    dest = jnp.where(ok & (lrank < rows_cap), lrank, cap_r)
     slot = jnp.full((cap_r,), DEAD_SLOT, jnp.int32)
     slot = slot.at[dest].set(jnp.minimum(pair_pos, DEAD_SLOT), mode="drop")
     cid_tbl = jnp.full((cap_r,), _CID_PAD, jnp.int32)
@@ -373,16 +416,29 @@ def build_reduce_plan_compact(pair_g: jnp.ndarray, pair_pos: jnp.ndarray,
 
     # per-block first output group + local ids; k0 is nondecreasing with
     # steps <= 1 (every compact id owns >= 1 row), so both accumulator
-    # streams revisit consecutively.  All-pad trailing blocks clamp onto
-    # the last real group and add exact zeros.
+    # streams revisit consecutively.  All-pad trailing blocks claim the
+    # SPILL group last_real_k0 + 1: a real block whose first cid is in
+    # group K may hold rows of group K+1 (the out_b accumulator), so final
+    # output group K+1 = out_a[K+1] + out_b[K] — and out_a[K+1] is defined
+    # only if some block visits it with first == 1.  Clamping pad blocks
+    # onto the LAST group instead (the pre-r5 bug) left out_a[K_last+1]
+    # as uninitialized HBM whenever cap_live exceeded the band's live
+    # groups, feeding garbage through the full_src expansion to real live
+    # gaussians.  Groups past the spill hold no live cids and stay masked
+    # by the expansion's src < cap_live select.
     blk = cid_tbl.reshape(nb, GROUP)
-    k0 = jnp.minimum(blk[:, 0] >> GROUP_SHIFT, n_groups_c - 1)  # (nb,)
+    k0_real = blk[:, 0] >> GROUP_SHIFT                      # pad -> huge
+    pad_blk = blk[:, 0] >= _CID_PAD
+    last_real_k0 = jnp.max(jnp.where(pad_blk, jnp.int32(-1), k0_real))
+    spill = jnp.clip(last_real_k0 + 1, 0, n_groups_c - 1)
+    k0 = jnp.where(pad_blk, spill,
+                   jnp.minimum(k0_real, n_groups_c - 1))    # (nb,)
     cloc = blk - (k0[:, None] << GROUP_SHIFT)               # (nb, GROUP)
     first = jnp.concatenate(
         [jnp.ones((1,), jnp.int32),
          (k0[1:] != k0[:-1]).astype(jnp.int32)])
-    red_overflow = jnp.sum((ok & (lrank >= cap_r)).astype(jnp.int32))
+    red_overflow = jnp.sum((ok & (lrank >= rows_cap)).astype(jnp.int32))
     return CompactReducePlan(
-        slot=slot, cloc=cloc, k0=k0, first=first, full_src=full_src,
-        out_shape=jnp.zeros((n_groups_c,), jnp.int32)), \
+        slot=slot, cloc=cloc, k0=k0, first=first, src_range=src_range,
+        base=base, out_shape=jnp.zeros((n_groups_c,), jnp.int32)), \
         overflow + red_overflow

@@ -55,6 +55,12 @@ class TrainConfig:
     #: config[2] scale (5M gaussians) Adam's moments alone are ~2.7 GB and
     #: pushed the banded train step past HBM (spool jobs 052/061)
     optimizer: str = "adam"
+    #: span banding for n_bands > 1: contiguous tile-row bands + per-band
+    #: live-id windows.  Pair with a model pre-sorted by image row
+    #: (GaussianModel.sorted_for_camera) — the sort is scene prep, done
+    #: once; an unsorted model still trains correctly, the windows just
+    #: degrade to full-table width
+    span_bands: bool = False
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -133,7 +139,7 @@ class Trainer:
             self._banded = BandedRenderer(
                 width, height, n_bands, cfg,
                 capacity=None if capacity == (0, 0) else capacity,
-                impl=impl, remat=tc.banded_remat)
+                impl=impl, remat=tc.banded_remat, span=tc.span_bands)
             self._bind_age = None
             self._bind_key = None
             self.last_overflow = None
@@ -192,7 +198,7 @@ class Trainer:
     def _build_banded_step(self):
         width, height, cfg = self.width, self.height, self.cfg
         impl, tc, optimizer = self.impl, self.tc, self.optimizer
-        remat = self._banded.remat
+        remat, mode = self._banded.remat, self._banded.mode
         from ..render.banded import _render_banded_bound
 
         def step(state, topos, rays_bands, target):
@@ -201,7 +207,8 @@ class Trainer:
             def loss_fn(m):
                 img, ovf = _render_banded_bound(m, topos,
                                                 rays_bands, width, height,
-                                                cfg, impl, remat=remat)
+                                                cfg, impl, remat=remat,
+                                                mode=mode)
                 rgb = img[..., 0:3]
                 l1 = jnp.mean(jnp.abs(rgb - target))
                 l2 = jnp.mean((rgb - target) ** 2)
@@ -237,7 +244,16 @@ class Trainer:
                 # eagerly on its own bind-time overflow either way
                 if (getattr(self, "last_overflow", None) is not None
                         and int(self.last_overflow) > 0):
-                    self._banded.capacity = None  # force fresh plan
+                    # force a fresh plan but MAX-MERGE it with the held
+                    # capacity: accepting a smaller fresh bucket verbatim
+                    # would shrink the jitted shapes (recompile) and can
+                    # oscillate across refresh windows — mirror the
+                    # tiled.py and BandedRenderer.bind overflow paths
+                    cap0 = self._banded.capacity
+                    fresh = self._banded.plan(state[0], camera)
+                    if cap0 is not None:
+                        self._banded.capacity = (max(cap0[0], fresh[0]),
+                                                 max(cap0[1], fresh[1]))
                 self._banded.bind(state[0], camera)
                 self._bind_age, self._bind_key = 0, key
             self._bind_age += 1

@@ -178,3 +178,67 @@ def test_binning_grads_match_brute_force():
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=atol,
                                    err_msg=name)
+
+
+def test_compact_reduce_spill_group_defined():
+    """Regression (r4 advisor, high): when cap_live exceeds the live count
+    by >= 2 GROUPs AND the last real reduction block spans a compact-group
+    boundary, the spill group's out_a block must still be written.  The
+    broken plan clamped all-pad trailing blocks onto the LAST output group,
+    leaving out_a[K_last+1] as uninitialized memory that the full_src
+    expansion then gathered for real live gaussians (NaN under the Pallas
+    interpreter, garbage on-chip)."""
+    from gvrt_tpu.render.segreduce import (GROUP, build_reduce_plan_compact,
+                                           plan_rows_compact)
+
+    # n gaussians, one pair each except gaussian 0 (two pairs): live rows =
+    # n + 1, so the block starting at row GROUP holds cid GROUP - 1 ->
+    # k0 = 0 and its rows spill into compact group 1 via out_b.
+    n = GROUP + 44
+    chunk, c = 32, 6
+    counts = np.ones((n,), np.int32)
+    counts[0] = 2
+    offsets = np.cumsum(counts) - counts
+    total = int(counts.sum())
+    capacity = total + 19  # some dropped tail pairs
+    p_pad = -(-(capacity + 1) // chunk) * chunk
+    pair_g = np.repeat(np.arange(n, dtype=np.int32), counts)
+    pair_g = np.concatenate(
+        [pair_g, np.full(capacity - total, n - 1, np.int32)])
+    # identity-ish slot layout: live pairs at slots 0..total-1
+    pair_pos = np.concatenate(
+        [np.arange(total, dtype=np.int32),
+         np.full(capacity - total, p_pad, np.int32)])
+    pair_gauss = np.full((p_pad,), n, np.int32)
+    pair_gauss[:total] = pair_g[:total]
+
+    cap_live = 3 * GROUP          # live cids end in group 1; group 2 empty
+    cap_r = plan_rows_compact(total)
+    red, ovf = build_reduce_plan_compact(
+        jnp.asarray(pair_g), jnp.asarray(pair_pos), jnp.asarray(offsets),
+        jnp.asarray(counts), n, capacity, p_pad, cap_live, cap_r)
+    assert int(ovf) == 0
+
+    # plan-level invariant: every output group holding live cids has its
+    # out_a block claimed by some input block's k0 -- including the spill
+    # group K_last + 1
+    k0s = set(np.asarray(red.k0).tolist())
+    assert int(red.base[0]) == 0  # no window planned -> full-table src map
+    src = np.asarray(red.src_range)
+    live_groups = set((src[src < cap_live] // GROUP).tolist())
+    assert live_groups <= k0s, (sorted(live_groups), sorted(k0s))
+
+    rows = jax.random.normal(jax.random.key(21), (n + 1, c))
+    bar = jax.random.normal(jax.random.key(22), (p_pad // chunk, chunk, c))
+
+    def loss(r, red_arg):
+        out = chunked_gather(chunk, r, jnp.asarray(pair_gauss),
+                             jnp.asarray(pair_pos), jnp.asarray(offsets),
+                             jnp.asarray(counts), red_arg)
+        return jnp.sum(out * bar)
+
+    g_cmp = jax.grad(loss)(rows, red)
+    g_fall = jax.grad(loss)(rows, None)
+    assert np.isfinite(np.asarray(g_cmp)).all()
+    np.testing.assert_allclose(np.asarray(g_cmp), np.asarray(g_fall),
+                               rtol=1e-4, atol=1e-5)
