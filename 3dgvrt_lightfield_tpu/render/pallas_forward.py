@@ -44,7 +44,7 @@ def forward_tiles(binned: BinnedScene, rays_tiled: jnp.ndarray,
     """
     num_tiles = rays_tiled.shape[0]
     acc = render_tiles_ad(cfg, interpret, binned.chunks, rays_tiled,
-                          binned.chunk_tile, binned.chunk_first)
+                          binned.chunk_tile)
     return _background_fix(acc[:num_tiles], binned.tile_counts)
 
 

@@ -21,9 +21,13 @@ through the sorted, early-terminated composite.  Design:
     in tests/test_backward.py): one shared forward recompute, full-lane
     intermediates — measured faster than the jax.vjp-traced graph.
   * Trailing dead capacity chunks (tile id == num_tiles) are mapped onto the
-    last real chunk's block index via the prefetched `chunk_src` array: the
-    Pallas pipeline skips re-DMA for repeated indices, so dead chunks cost
-    neither bandwidth nor compute.
+    last real chunk's block index via a `min(c, last_real)` clamp in the
+    BlockSpec index map: the Pallas pipeline skips re-DMA for repeated
+    indices, so dead chunks cost neither bandwidth nor compute.  The only
+    scalar-prefetch ARRAY is `chunk_tile` — `first`/`last` are neighbor
+    compares of it done in-kernel, and `last_real` is one scalar.  (The
+    former three per-chunk int32 maps exceeded the 1 MB SMEM at 5M-scale
+    chunk counts — the r4 bands=2 Mosaic OOM, SCALE_r04b.md.)
   * Per-pair parameter gradients leave the kernel as (num_chunks, G, 64)
     blocks; the custom VJP of the binning gather (param_grads.chunked_gather)
     turns them into per-Gaussian gradients scatter-free, so
@@ -55,20 +59,26 @@ from .tile_math import ACC_T, RAY_ROWS, chunk_core_bwd, chunk_update
 TIN_PACK = 16
 
 
-def _chunk_src(chunk_tile: jnp.ndarray, num_tiles: int) -> jnp.ndarray:
-    """Block index per chunk: itself for real chunks, the last real chunk for
-    the trailing dead region (repeated index => pipeline skips the DMA)."""
-    num_chunks = chunk_tile.shape[0]
+def _last_real(chunk_tile: jnp.ndarray, num_tiles: int) -> jnp.ndarray:
+    """(1,) int32: index of the last real chunk.  The chunk BlockSpec maps
+    every trailing dead chunk onto this block (`min(c, last_real)` in the
+    index map — repeated index => the pipeline skips the re-DMA).  Replaces
+    the per-chunk `chunk_src` scalar-prefetch ARRAY: at 5M-scale chunk
+    counts the three int32 maps (tile, first, src) exceeded the 1 MB SMEM
+    (SCALE_r04b bands=2 Mosaic OOM); `first`/`last` are neighbor compares
+    of `chunk_tile` derived in-kernel, and `src` is this one scalar."""
     n_real = jnp.sum((chunk_tile < num_tiles).astype(jnp.int32))
-    last_real = jnp.maximum(n_real - 1, 0)
-    return jnp.minimum(jnp.arange(num_chunks, dtype=jnp.int32), last_real)
+    return jnp.maximum(n_real - 1, 0)[None]
 
 
-def _fwd_kernel(ct_ref, cf_ref, cs_ref, rays_ref, chunk_ref, acc_ref,
+def _fwd_kernel(ct_ref, lr_ref, rays_ref, chunk_ref, acc_ref,
                 tin_ref, *, cfg: RenderConfig, num_tiles: int):
     c = pl.program_id(0)
+    # first chunk of its tile: SMEM neighbor compare (no prefetched map)
+    prev = ct_ref[jnp.maximum(c - 1, 0)]
+    first = (c == 0) | (ct_ref[c] != prev)
 
-    @pl.when(cf_ref[c] == 1)
+    @pl.when(first)
     def _():
         r = acc_ref.shape[2]
         row = jax.lax.broadcasted_iota(jnp.int32, (8, r), 0)
@@ -86,15 +96,18 @@ def _fwd_kernel(ct_ref, cf_ref, cs_ref, rays_ref, chunk_ref, acc_ref,
                                         acc_ref[0], cfg)
 
 
-def _bwd_kernel(ct_ref, cl_ref, cs_ref, rays_ref, chunk_ref, tin_ref,
+def _bwd_kernel(ct_ref, lr_ref, rays_ref, chunk_ref, tin_ref,
                 bar_acc_ref, bar_t_ref, bar_chunk_ref, *opt_refs,
                 cfg: RenderConfig, num_chunks: int, num_tiles: int):
     bar_rays_ref = opt_refs[0] if opt_refs else None
     c = pl.program_id(0)
     rc = num_chunks - 1 - c
+    # last forward chunk of its tile: SMEM neighbor compare (no map)
+    nxt = ct_ref[jnp.minimum(rc + 1, num_chunks - 1)]
+    last = (rc == num_chunks - 1) | (ct_ref[rc] != nxt)
 
     # first visit of this tile in reverse order == its last forward chunk
-    @pl.when(cl_ref[rc] == 1)
+    @pl.when(last)
     def _():
         bar_t_ref[0, 0, :] = bar_acc_ref[0, ACC_T, :]
         if cfg.ray_gradients:
@@ -145,35 +158,38 @@ class _NullRef:
         pass
 
 
-def _forward_call(cfg, interpret, with_residuals, chunks, rays, chunk_tile,
-                  chunk_first):
+def _forward_call(cfg, interpret, with_residuals, chunks, rays, chunk_tile):
     num_chunks, g, _ = chunks.shape
     num_tiles, _, r = rays.shape
     rays = _pad_rays(rays)
-    chunk_src = _chunk_src(chunk_tile, num_tiles)
+    last_real = _last_real(chunk_tile, num_tiles)
 
     out_shape = [jax.ShapeDtypeStruct((num_tiles + 1, 8, r), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, 8, r), lambda c, ct, cf, cs: (ct[c], 0, 0))]
+    out_specs = [pl.BlockSpec((1, 8, r), lambda c, ct, lr: (ct[c], 0, 0))]
     if with_residuals:
         nc_pad = ((num_chunks + TIN_PACK - 1) // TIN_PACK) * TIN_PACK
         out_shape.append(jax.ShapeDtypeStruct((nc_pad, r), jnp.float32))
         out_specs.append(
             pl.BlockSpec((TIN_PACK, r),
-                         lambda c, ct, cf, cs: (c // TIN_PACK, 0)))
+                         lambda c, ct, lr: (c // TIN_PACK, 0)))
         kernel = functools.partial(_fwd_kernel, cfg=cfg, num_tiles=num_tiles)
     else:
-        def kernel(ct_ref, cf_ref, cs_ref, rays_ref, chunk_ref, acc_ref,
+        def kernel(ct_ref, lr_ref, rays_ref, chunk_ref, acc_ref,
                    *, _cfg=cfg, _nt=num_tiles):
-            _fwd_kernel(ct_ref, cf_ref, cs_ref, rays_ref, chunk_ref, acc_ref,
+            _fwd_kernel(ct_ref, lr_ref, rays_ref, chunk_ref, acc_ref,
                         _NullRef(), cfg=_cfg, num_tiles=_nt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((1, RAY_ROWS, r),
-                         lambda c, ct, cf, cs: (ct[c], 0, 0)),
-            pl.BlockSpec((1, g, 64), lambda c, ct, cf, cs: (cs[c], 0, 0)),
+                         lambda c, ct, lr: (ct[c], 0, 0)),
+            # dead trailing chunks alias the last real chunk's block: the
+            # repeated index skips the re-DMA (one SMEM scalar, not a
+            # per-chunk chunk_src map)
+            pl.BlockSpec((1, g, 64),
+                         lambda c, ct, lr: (jnp.minimum(c, lr[0]), 0, 0)),
         ],
         out_specs=tuple(out_specs) if with_residuals else out_specs[0],
     )
@@ -182,22 +198,20 @@ def _forward_call(cfg, interpret, with_residuals, chunks, rays, chunk_tile,
         grid_spec=grid_spec,
         out_shape=tuple(out_shape) if with_residuals else out_shape[0],
         interpret=interpret,
-    )(chunk_tile, chunk_first, chunk_src, rays, chunks)
+    )(chunk_tile, last_real, rays, chunks)
     return out if with_residuals else (out, None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def render_tiles_ad(cfg: RenderConfig, interpret: bool, chunks, rays,
-                    chunk_tile, chunk_first):
+                    chunk_tile):
     """Differentiable fused tile render: returns raw (num_tiles+1, 8, R) acc."""
-    acc, _ = _forward_call(cfg, interpret, False, chunks, rays, chunk_tile,
-                           chunk_first)
+    acc, _ = _forward_call(cfg, interpret, False, chunks, rays, chunk_tile)
     return acc
 
 
-def _render_fwd(cfg, interpret, chunks, rays, chunk_tile, chunk_first):
-    acc, tin = _forward_call(cfg, interpret, True, chunks, rays, chunk_tile,
-                             chunk_first)
+def _render_fwd(cfg, interpret, chunks, rays, chunk_tile):
+    acc, tin = _forward_call(cfg, interpret, True, chunks, rays, chunk_tile)
     return acc, (chunks, rays, chunk_tile, tin)
 
 
@@ -206,20 +220,16 @@ def _render_bwd(cfg, interpret, res, bar_acc):
     num_chunks, g, _ = chunks.shape
     num_tiles, _, r = rays.shape
     rays = _pad_rays(rays)
-    chunk_src = _chunk_src(chunk_tile, num_tiles)
-
-    chunk_last = jnp.concatenate([
-        (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32),
-        jnp.ones((1,), jnp.int32)])
+    last_real = _last_real(chunk_tile, num_tiles)
 
     rev = lambda c: num_chunks - 1 - c
     out_specs = [
-        pl.BlockSpec((1, 8, r), lambda c, ct, cl, cs: (ct[rev(c)], 0, 0)),
-        # identity map (NOT the chunk_src alias): every chunk — dead
+        pl.BlockSpec((1, 8, r), lambda c, ct, lr: (ct[rev(c)], 0, 0)),
+        # identity map (NOT the last-real alias): every chunk — dead
         # trailing ones included — writes its own bar block, so the
         # whole cotangent buffer is defined memory (see _bwd_kernel)
         pl.BlockSpec((1, g, 64),
-                     lambda c, ct, cl, cs: (rev(c), 0, 0)),
+                     lambda c, ct, lr: (rev(c), 0, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((num_tiles + 1, 8, r), jnp.float32),
@@ -229,21 +239,22 @@ def _render_bwd(cfg, interpret, res, bar_acc):
         # per-tile ray cotangents, accumulated across the tile's chunks with
         # the same VMEM-resident revisiting as the bar_t carry
         out_specs.append(pl.BlockSpec(
-            (1, RAY_ROWS, r), lambda c, ct, cl, cs: (ct[rev(c)], 0, 0)))
+            (1, RAY_ROWS, r), lambda c, ct, lr: (ct[rev(c)], 0, 0)))
         out_shape.append(
             jax.ShapeDtypeStruct((num_tiles + 1, RAY_ROWS, r), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((1, RAY_ROWS, r),
-                         lambda c, ct, cl, cs: (ct[rev(c)], 0, 0)),
+                         lambda c, ct, lr: (ct[rev(c)], 0, 0)),
             pl.BlockSpec((1, g, 64),
-                         lambda c, ct, cl, cs: (cs[rev(c)], 0, 0)),
+                         lambda c, ct, lr: (jnp.minimum(rev(c), lr[0]),
+                                            0, 0)),
             pl.BlockSpec((TIN_PACK, r),
-                         lambda c, ct, cl, cs: (rev(c) // TIN_PACK, 0)),
-            pl.BlockSpec((1, 8, r), lambda c, ct, cl, cs: (ct[rev(c)], 0, 0)),
+                         lambda c, ct, lr: (rev(c) // TIN_PACK, 0)),
+            pl.BlockSpec((1, 8, r), lambda c, ct, lr: (ct[rev(c)], 0, 0)),
         ],
         out_specs=tuple(out_specs),
     )
@@ -253,7 +264,7 @@ def _render_bwd(cfg, interpret, res, bar_acc):
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=interpret,
-    )(chunk_tile, chunk_last, chunk_src, rays, chunks, tin, bar_acc)
+    )(chunk_tile, last_real, rays, chunks, tin, bar_acc)
     bar_chunks = out[1]
 
     int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -271,7 +282,7 @@ def _render_bwd(cfg, interpret, res, bar_acc):
         # ray_gradients=True for pose/camera optimization (tested in
         # tests/test_ray_grads.py).
         bar_rays = jnp.zeros_like(rays[:-1])
-    return (bar_chunks, bar_rays, int_zero(chunk_tile), int_zero(chunk_tile))
+    return (bar_chunks, bar_rays, int_zero(chunk_tile))
 
 
 render_tiles_ad.defvjp(_render_fwd, _render_bwd)

@@ -59,7 +59,7 @@ fwd_jit = jax.jit(lambda b: forward_tiles(b, rays, cfg))
 _, dt_fwd = timeit("fwd kernel (no resid)", lambda: fwd_jit(binned), reps=5)
 
 fwdres_jit = jax.jit(lambda b: _forward_call(
-    cfg, False, True, b.chunks, rays, b.chunk_tile, b.chunk_first))
+    cfg, False, True, b.chunks, rays, b.chunk_tile))
 (acc, tin), dt_fr = timeit("fwd kernel (resid)", lambda: fwdres_jit(binned))
 
 bar_acc = jnp.ones_like(acc)

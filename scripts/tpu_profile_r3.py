@@ -152,7 +152,7 @@ if "untile" in stages:
 
 if "bwd" in stages:
     accres, tin = jax.jit(lambda ch: _forward_call(
-        cfg, False, True, ch, rays, topo.chunk_tile, topo.chunk_first))(chunks)
+        cfg, False, True, ch, rays, topo.chunk_tile))(chunks)
     sync(tin)
     bar_acc = jnp.ones_like(accres)
 
@@ -162,8 +162,7 @@ if "bwd" in stages:
         return outs[0][0, 0, 12]
     run_fres = chain(
         lambda eps, ch, ry: _forward_call(cfg, False, True, ch + eps, ry,
-                                          topo.chunk_tile,
-                                          topo.chunk_first)[1][0, 0])
+                                          topo.chunk_tile)[1][0, 0])
     timeit("fwd(resid)", lambda: run_fres(0.0, chunks, rays))
     run_bwd = chain(bwd_body)
     timeit("bwd kernel", lambda: run_bwd(0.0, chunks, rays, tin))

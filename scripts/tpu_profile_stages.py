@@ -83,7 +83,7 @@ if "fwd" in stages:
 acc = tin = None
 if stages & {"fwdres", "bwd"}:
     fwdres_jit = jax.jit(lambda b: _forward_call(
-        cfg, False, True, b.chunks, rays, b.chunk_tile, b.chunk_first))
+        cfg, False, True, b.chunks, rays, b.chunk_tile))
     (acc, tin), dt_fr = timeit("fwd kernel (resid)",
                                lambda: fwdres_jit(binned))
 
