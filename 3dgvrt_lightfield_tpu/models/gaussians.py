@@ -125,6 +125,40 @@ class GaussianModel:
         hi = jnp.max(self.means, axis=0)
         return lo, hi
 
+    # ---- reordering ----------------------------------------------------
+    def permute(self, perm) -> "GaussianModel":
+        """Reorder all parameter leaves by `perm` (host-side, scene prep).
+
+        Gaussian order is semantically meaningless to the scene — rendering
+        sorts per tile by depth regardless — so a physical reorder is free
+        to do once.  Span banding (render/banded.py) exploits a y-sorted
+        order: contiguous tile-row bands then see contiguous live-id
+        windows."""
+        idx = np.asarray(perm)
+        return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), self)
+
+    def sorted_for_camera(self, camera, cfg=None) -> "GaussianModel":
+        """Reorder gaussians by projected image-row span for `camera`.
+
+        The span-banding preprocessing step: after this, a contiguous band
+        of tile rows touches a contiguous range of gaussian ids (up to
+        gaussians spanning band boundaries, which widen the planned window
+        slightly).  Sort key = center of the projected tile-row span from
+        the binning cull table; invalid (off-screen) gaussians sort last so
+        they never widen any band's id window."""
+        from ..config import DEFAULT_CONFIG
+        from ..render.binning import frame_cull_table
+        from ..render.tiled import _camera_mats
+        cfg = cfg or DEFAULT_CONFIG
+        w2c, proj = _camera_mats(camera)
+        tab = frame_cull_table(self.activate(), jnp.asarray(w2c),
+                               jnp.asarray(proj), camera.width,
+                               camera.height, cfg)
+        ty0, ty1 = np.asarray(tab.ty0), np.asarray(tab.ty1)
+        valid = np.asarray(tab.valid)
+        key = np.where(valid, ty0 + ty1, 2 * camera.height)  # 2x row center
+        return self.permute(np.argsort(key, kind="stable"))
+
 
 class ActivatedGaussians(NamedTuple):
     """Activated per-Gaussian quantities fed to the renderer.

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..config import RenderConfig, DEFAULT_CONFIG
 from ..models.gaussians import GaussianModel
 from .binning import (band_rays, bin_topology_from_table, binned_scene,
-                      frame_cull_table, gather_from_rows, param_rows,
+                      frame_cull_table, gather_from_rows,
                       plan_capacity_from_table, unband_image, untile)
 from .pallas_forward import forward_dispatch
 from .tiled import _camera_mats, _resolve_impl
@@ -73,16 +73,29 @@ def resolve_bands_common(heights, requested: int,
     return 1
 
 
+def _band_spec(b: int, n_bands: int, height: int, cfg: RenderConfig,
+               mode: str):
+    """(offset, stride, count) of band b — round-robin or contiguous."""
+    if mode == "contig":
+        lny = (height // cfg.tile_size) // n_bands
+        return (b * lny, 1, lny)
+    assert mode == "stride", mode
+    return (b, n_bands, 0)
+
+
 def plan_capacity_banded(model: GaussianModel, camera, n_bands: int,
                          cfg: RenderConfig = DEFAULT_CONFIG,
-                         slack: float = 1.3, with_reduce: bool = False):
+                         slack: float = 1.3, with_reduce: bool = False,
+                         mode: str = "stride"):
     """Static (capacity, capacity_padded) = max over the bands' plans.
 
     The device frame table is computed ONCE; each band's plan is pure host
     NumPy on it (was one full device pass per band — 17x slower at 5M).
     `with_reduce=True` additionally plans the COMPACT grad-reduce layout
-    (segreduce.CompactReducePlan) and returns
-    (capacity, capacity_padded, capacity_live, capacity_reduce)."""
+    (segreduce.CompactReducePlan) and returns (capacity, capacity_padded,
+    capacity_live, capacity_reduce, capacity_range).  mode="contig" plans
+    CONTIGUOUS tile-row bands (span banding) — with a y-sorted model each
+    band's live-id window capacity_range shrinks to ~N/n_bands."""
     import numpy as np
     from .binning import plan_compact_reduce_from_table
     act = model.activate()
@@ -90,44 +103,62 @@ def plan_capacity_banded(model: GaussianModel, camera, n_bands: int,
     tab = jax.tree.map(np.asarray, frame_cull_table(
         act, jnp.asarray(w2c), jnp.asarray(proj), camera.width,
         camera.height, cfg))
-    cap = cap_pad = cap_live = cap_r = 0
+    cap = cap_pad = cap_live = cap_r = cap_range = 0
     for off in range(n_bands):
+        band = _band_spec(off, n_bands, camera.height, cfg, mode)
         c, cp = plan_capacity_from_table(tab, proj, camera.width,
                                          camera.height, cfg, slack=slack,
-                                         band=(off, n_bands))
+                                         band=band)
         cap, cap_pad = max(cap, c), max(cap_pad, cp)
         if with_reduce:
-            cl, cr = plan_compact_reduce_from_table(
+            cl, cr, crg = plan_compact_reduce_from_table(
                 tab, proj, camera.width, camera.height, cfg,
-                slack=max(slack, 1.05), band=(off, n_bands))
+                slack=max(slack, 1.05), band=band)
             cap_live, cap_r = max(cap_live, cl), max(cap_r, cr)
+            cap_range = max(cap_range, crg)
     if with_reduce:
-        return cap, cap_pad, cap_live, cap_r
+        return cap, cap_pad, cap_live, cap_r, cap_range
     return cap, cap_pad
 
 
 @partial(jax.jit, static_argnames=("width", "height", "n_bands", "cfg",
                                    "cap", "cap_pad", "impl", "cap_live",
-                                   "cap_r"))
-def _render_banded(act, w2c, proj, rays_bands, width, height, n_bands, cfg,
-                   cap, cap_pad, impl, cap_live=0, cap_r=0):
-    offsets = jnp.arange(n_bands, dtype=jnp.int32)
+                                   "cap_r", "cap_range", "mode"))
+def _render_banded(model, w2c, proj, rays_bands, width, height, n_bands, cfg,
+                   cap, cap_pad, impl, cap_live=0, cap_r=0, cap_range=0,
+                   mode: str = "stride"):
+    from .rows_vjp import rows64_from_model
+    contig = mode == "contig"
+    lny = (height // cfg.tile_size) // n_bands
+    offsets = jnp.arange(n_bands, dtype=jnp.int32) * (lny if contig else 1)
     lh = height // n_bands
     # both frame-level tables are band-independent: build them ONCE per
     # frame instead of rematerializing inside every band's checkpointed
     # body.  rows64 is the only gaussian-count-sized 2D array alive across
     # the scan; the cull table is all-1D (FrameCullTable) — at 5M gaussians
     # the per-band rebuilds' (N, C) temps were a 27 GB compile (SCALE_r03.md)
-    rows64 = param_rows(act, cfg)
+    #
+    # Gradients route through the hand-VJP parameter layer (rows_vjp), the
+    # SAME path the bound/training renderer uses — autodiffing activate()
+    # here cost the ~50 ms/frame lane-padded backward class the r4 trace
+    # eliminated elsewhere (PROFILE section 3b) and made the public banded
+    # API exercise a different grad path than training (r4 verdict weak 5).
+    # The cull table feeds only integer topology (pair lists/permutations),
+    # so its gradient is identically zero: stop_gradient prunes that dead
+    # backward graph without changing any value.
+    rows64 = rows64_from_model(model, cfg)
+    act = jax.lax.stop_gradient(model).activate()
     tab = frame_cull_table(act, w2c, proj, width, height, cfg)
 
     def body(overflow, inp):
         rays_b, off = inp
         topo = bin_topology_from_table(tab, proj, width, height, cfg, cap,
                                        cap_pad, row_offset=off,
-                                       row_stride=n_bands,
+                                       row_stride=1 if contig else n_bands,
                                        capacity_reduce=cap_r,
-                                       capacity_live=cap_live)
+                                       capacity_live=cap_live,
+                                       row_count=lny if contig else 0,
+                                       capacity_range=cap_range)
         binned = binned_scene(gather_from_rows(rows64, topo, cfg), topo)
         acc = forward_dispatch(binned, rays_b, cfg, impl)
         img = untile(acc, width, lh, cfg.tile_size)
@@ -138,14 +169,14 @@ def _render_banded(act, w2c, proj, rays_bands, width, height, n_bands, cfg,
     overflow, bands = jax.lax.scan(jax.checkpoint(body),
                                    jnp.zeros((), jnp.int32),
                                    (rays_bands, offsets))
-    img = unband_image(bands, width, height, cfg.tile_size)
+    img = unband_image(bands, width, height, cfg.tile_size, mode=mode)
     return img, overflow
 
 
 @partial(jax.jit, static_argnames=("width", "height", "cfg", "impl",
-                                   "remat"))
+                                   "remat", "mode"))
 def _render_banded_bound(model, topos, rays_bands, width, height, cfg, impl,
-                         remat: str = "full"):
+                         remat: str = "full", mode: str = "stride"):
     """Render against HELD per-band topologies (leading axis = band).
 
     The banded analog of tiled._render_from_topology: per-frame work is one
@@ -199,7 +230,7 @@ def _render_banded_bound(model, topos, rays_bands, width, height, cfg, impl,
     overflow, bands = jax.lax.scan(body_fn,
                                    jnp.zeros((), jnp.int32),
                                    (rays_bands, topos))
-    img = unband_image(bands, width, height, cfg.tile_size)
+    img = unband_image(bands, width, height, cfg.tile_size, mode=mode)
     return img, overflow
 
 
@@ -215,7 +246,7 @@ class BandedRenderer:
     def __init__(self, width: int, height: int, n_bands: int,
                  cfg: RenderConfig = DEFAULT_CONFIG,
                  capacity: Optional[tuple] = None, impl: str = "auto",
-                 remat: str = "full"):
+                 remat: str = "full", span: bool = False):
         assert (height // cfg.tile_size) % n_bands == 0, (height, n_bands)
         self.width, self.height, self.n_bands = width, height, n_bands
         self.cfg, self.capacity = cfg, capacity
@@ -223,19 +254,27 @@ class BandedRenderer:
         #: band-scan recompute/memory ladder: "full" | "gather" | "none"
         #: (see _render_banded_bound)
         self.remat = remat
+        #: span banding: CONTIGUOUS tile-row bands + per-band live-id
+        #: windows — pair a y-sorted model (GaussianModel.sorted_by_depth/
+        #: sorted_for_camera) with span=True so each band's gaussians form
+        #: a narrow contiguous id range (SplitBLAS's spatial partition,
+        #: SplitBLAS.cpp:678-752, done on ids instead of a BVH)
+        self.mode = "contig" if span else "stride"
         #: compact grad-reduce budgets (0 = XLA prefix fallback at scale);
         #: set by plan() so bound topologies carry a CompactReducePlan
         self.capacity_live = 0
         self.capacity_reduce = 0
+        self.capacity_range = 0
         self._bound = None      # (topos, rays_bands)
 
     def plan(self, model: GaussianModel, camera, slack: float = 1.3):
-        cap, cap_pad, cap_live, cap_r = plan_capacity_banded(
+        cap, cap_pad, cap_live, cap_r, cap_range = plan_capacity_banded(
             model, camera, self.n_bands, self.cfg, slack=slack,
-            with_reduce=True)
+            with_reduce=True, mode=self.mode)
         self.capacity = (cap, cap_pad)
         self.capacity_live = max(self.capacity_live, cap_live)
         self.capacity_reduce = max(self.capacity_reduce, cap_r)
+        self.capacity_range = max(self.capacity_range, cap_range)
         return self.capacity
 
     def _build_topos(self, model: GaussianModel, camera):
@@ -244,13 +283,18 @@ class BandedRenderer:
         w2c, proj = _camera_mats(camera)
         tab = frame_cull_table(act, jnp.asarray(w2c), jnp.asarray(proj),
                                self.width, self.height, self.cfg)
-        topos = [bin_topology_from_table(tab, proj, self.width, self.height,
-                                         self.cfg, cap, cap_pad,
-                                         row_offset=off,
-                                         row_stride=self.n_bands,
-                                         capacity_reduce=self.capacity_reduce,
-                                         capacity_live=self.capacity_live)
-                 for off in range(self.n_bands)]
+        topos = []
+        for off in range(self.n_bands):
+            b_off, b_stride, b_count = _band_spec(
+                off, self.n_bands, self.height, self.cfg, self.mode)
+            topos.append(bin_topology_from_table(
+                tab, proj, self.width, self.height,
+                self.cfg, cap, cap_pad,
+                row_offset=b_off, row_stride=b_stride,
+                capacity_reduce=self.capacity_reduce,
+                capacity_live=self.capacity_live,
+                row_count=b_count,
+                capacity_range=self.capacity_range))
         return jax.tree.map(lambda *xs: jnp.stack(xs), *topos)
 
     def bind(self, model: GaussianModel, camera):
@@ -271,7 +315,8 @@ class BandedRenderer:
             self.capacity = (max(cap0[0], self.capacity[0]),
                              max(cap0[1], self.capacity[1]))
             topos = self._build_topos(model, camera)
-        self._bound = (topos, band_rays(camera, self.cfg, self.n_bands))
+        self._bound = (topos, band_rays(camera, self.cfg, self.n_bands,
+                                        mode=self.mode))
         return topos
 
     def render_bound(self, model: GaussianModel):
@@ -279,7 +324,7 @@ class BandedRenderer:
         topos, rays_bands = self._bound
         img, overflow = _render_banded_bound(
             model, topos, rays_bands, self.width, self.height,
-            self.cfg, self.impl, remat=self.remat)
+            self.cfg, self.impl, remat=self.remat, mode=self.mode)
         return {
             "rgb": img[..., 0:3],
             "depth": img[..., 3],
@@ -291,29 +336,35 @@ class BandedRenderer:
 
 def render_image_banded(model: GaussianModel, camera, n_bands: int,
                         cfg: RenderConfig = DEFAULT_CONFIG,
-                        capacity: Optional[tuple] = None, impl: str = "auto"):
+                        capacity: Optional[tuple] = None, impl: str = "auto",
+                        span: bool = False):
     """Render one camera in `n_bands` sequential tile-row bands.
 
     Differentiable end-to-end; equals the unbanded `render_image_tiled`
     exactly (same binning restricted per band).  Peak per-pair memory is
     1/n_bands of the unbanded pipeline for both forward and backward.
+    `span=True` uses CONTIGUOUS row bands + live-id windows (pair with a
+    y-sorted model, see BandedRenderer).
     """
     impl = _resolve_impl(impl)
+    mode = "contig" if span else "stride"
     width, height = camera.width, camera.height
     ts = cfg.tile_size
     assert (height // ts) % n_bands == 0, (height, ts, n_bands)
-    cap_live = cap_r = 0
+    cap_live = cap_r = cap_range = 0
     if capacity is None:
         capacity = plan_capacity_banded(model, camera, n_bands, cfg,
-                                        with_reduce=True)
-    if len(capacity) == 4:   # (cap, cap_pad, cap_live, cap_r)
-        capacity, cap_live, cap_r = capacity[:2], capacity[2], capacity[3]
-    act = model.activate()
+                                        with_reduce=True, mode=mode)
+    if len(capacity) >= 4:  # (cap, cap_pad, cap_live, cap_r[, cap_range])
+        cap_live, cap_r = capacity[2], capacity[3]
+        cap_range = capacity[4] if len(capacity) > 4 else 0
+        capacity = capacity[:2]
     w2c, proj = _camera_mats(camera)
-    rays_bands = band_rays(camera, cfg, n_bands)
-    img, overflow = _render_banded(act, w2c, proj, rays_bands, width, height,
-                                   n_bands, cfg, *capacity, impl,
-                                   cap_live=cap_live, cap_r=cap_r)
+    rays_bands = band_rays(camera, cfg, n_bands, mode=mode)
+    img, overflow = _render_banded(model, w2c, proj, rays_bands, width,
+                                   height, n_bands, cfg, *capacity, impl,
+                                   cap_live=cap_live, cap_r=cap_r,
+                                   cap_range=cap_range, mode=mode)
     return {
         "rgb": img[..., 0:3],
         "depth": img[..., 3],

@@ -205,16 +205,33 @@ def frame_cull_table(act: ActivatedGaussians, w2c, proj, width, height,
 
 
 def _band_localize(tab: FrameCullTable, ny: int, band):
-    """Global tile rects -> LOCAL rows of the (offset, stride) band."""
-    offset, stride = band
+    """Global tile rects -> LOCAL rows of the band.
+
+    `band` is (offset, stride) for round-robin tile-row banding (band owns
+    global rows offset, offset+stride, ...) or (offset, 1, count) for a
+    CONTIGUOUS band owning global rows [offset, offset+count) — span
+    banding, where a y-sorted model keeps each band's live gaussian ids in
+    a narrow contiguous range (see segreduce.CompactReducePlan.src_range).
+    """
+    offset, stride = band[0], band[1]
+    count = band[2] if len(band) > 2 else 0
     tx0, ty0, tx1, ty1 = tab.tx0, tab.ty0, tab.tx1, tab.ty1
     valid = tab.valid
     if stride != 1:
+        assert not count, band
         assert ny % stride == 0, (ny, stride)
         lny = ny // stride
         ly0 = (ty0 - offset + stride - 1) // stride   # ceil((ty0-off)/stride)
         ly1 = (ty1 - offset) // stride                # floor
         valid = valid & (ly1 >= ly0) & (ly1 >= 0) & (ly0 <= lny - 1)
+        ty0 = jnp.clip(ly0, 0, lny - 1)
+        ty1 = jnp.clip(ly1, 0, lny - 1)
+        ny = lny
+    elif count:
+        lny = count
+        ly0 = ty0 - offset
+        ly1 = ty1 - offset
+        valid = valid & (ly1 >= 0) & (ly0 <= lny - 1)
         ty0 = jnp.clip(ly0, 0, lny - 1)
         ty1 = jnp.clip(ly1, 0, lny - 1)
         ny = lny
@@ -298,13 +315,16 @@ def _pair_ellipsoid_cull(tile_x, tile_y, csx, csy, csz, v9, p00, p11,
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "capacity",
                                    "capacity_padded", "row_stride",
-                                   "capacity_reduce", "capacity_live"))
+                                   "capacity_reduce", "capacity_live",
+                                   "row_count", "capacity_range"))
 def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
                  width: int, height: int, cfg: RenderConfig,
                  capacity: int, capacity_padded: int,
                  row_offset=0, row_stride: int = 1,
                  capacity_reduce: int = 0,
-                 capacity_live: int = 0) -> BinTopology:
+                 capacity_live: int = 0,
+                 row_count: int = 0,
+                 capacity_range: int = 0) -> BinTopology:
     """Build the depth-sorted, chunk-aligned pair-list TOPOLOGY (no params).
 
     This is the expensive, parameter-gradient-free half of binning (tile
@@ -312,22 +332,28 @@ def bin_topology(act: ActivatedGaussians, w2c: jnp.ndarray, proj: jnp.ndarray,
     to `gather_chunks` to attach the differentiable per-pair parameter rows.
     With `row_stride > 1` the pass bins only every stride-th tile row
     starting at `row_offset` (round-robin tile-row sharding; `row_offset`
-    may be a traced per-device scalar inside shard_map)."""
+    may be a traced per-device scalar inside shard_map).  With
+    `row_count > 0` (and stride 1) it bins the CONTIGUOUS rows
+    [row_offset, row_offset+row_count) — span banding."""
     tab = frame_cull_table(act, w2c, proj, width, height, cfg)
     return bin_topology_from_table(tab, proj, width, height, cfg, capacity,
                                    capacity_padded, row_offset, row_stride,
-                                   capacity_reduce, capacity_live)
+                                   capacity_reduce, capacity_live,
+                                   row_count, capacity_range)
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "capacity",
                                    "capacity_padded", "row_stride",
-                                   "capacity_reduce", "capacity_live"))
+                                   "capacity_reduce", "capacity_live",
+                                   "row_count", "capacity_range"))
 def bin_topology_from_table(tab: FrameCullTable, proj: jnp.ndarray,
                             width: int, height: int, cfg: RenderConfig,
                             capacity: int, capacity_padded: int,
                             row_offset=0, row_stride: int = 1,
                             capacity_reduce: int = 0,
-                            capacity_live: int = 0) -> BinTopology:
+                            capacity_live: int = 0,
+                            row_count: int = 0,
+                            capacity_range: int = 0) -> BinTopology:
     """Topology from a precomputed frame table (see FrameCullTable).
 
     The banded renderer computes the table once per frame and calls this
@@ -337,7 +363,7 @@ def bin_topology_from_table(tab: FrameCullTable, proj: jnp.ndarray,
     n = tab.tx0.shape[0]
     nx = width // cfg.tile_size
     (tx0, ty0, tx1, ty1), valid, ny = _band_localize(
-        tab, height // cfg.tile_size, (row_offset, row_stride))
+        tab, height // cfg.tile_size, (row_offset, row_stride, row_count))
     depth = tab.depth
     num_tiles = nx * ny
 
@@ -463,10 +489,13 @@ def bin_topology_from_table(tab: FrameCullTable, proj: jnp.ndarray,
     #                         (param_grads._bwd_xla_prefix).
     if capacity_live > 0:
         assert capacity_live % GROUP == 0, capacity_live
-        cap_r = capacity_reduce or plan_rows_compact(capacity, capacity_live)
+        # fallback sizing uses the PAIR capacity as the survivor bound — a
+        # deliberate over-allocation (survivors <= capacity always); callers
+        # with a measured live count pass capacity_reduce instead
+        cap_r = capacity_reduce or plan_rows_compact(capacity)
         red, red_overflow = build_reduce_plan_compact(
             pair_g, pair_pos, offsets, counts, n, capacity,
-            capacity_padded, capacity_live, cap_r)
+            capacity_padded, capacity_live, cap_r, capacity_range)
         overflow = overflow + red_overflow
     elif n <= 1_500_000:
         red, red_overflow = build_reduce_plan(
@@ -618,13 +647,22 @@ def _host_expand_cull(tab: FrameCullTable, proj, width, height,
     tx0, tx1 = np.asarray(tab.tx0), np.asarray(tab.tx1)
     ty0, ty1 = np.asarray(tab.ty0), np.asarray(tab.ty1)
     valid = np.asarray(tab.valid)
-    offset, stride = band
+    offset, stride = band[0], band[1]
+    count = band[2] if len(band) > 2 else 0
     if stride != 1:
         assert ny % stride == 0, (ny, stride)
         lny = ny // stride
         ly0 = -(-(ty0 - offset) // stride)            # ceil
         ly1 = (ty1 - offset) // stride                # floor
         valid = valid & (ly1 >= ly0) & (ly1 >= 0) & (ly0 <= lny - 1)
+        ty0 = np.clip(ly0, 0, lny - 1)
+        ty1 = np.clip(ly1, 0, lny - 1)
+        ny = lny
+    elif count:
+        lny = count
+        ly0 = ty0 - offset
+        ly1 = ty1 - offset
+        valid = valid & (ly1 >= 0) & (ly0 <= lny - 1)
         ty0 = np.clip(ly0, 0, lny - 1)
         ty1 = np.clip(ly1, 0, lny - 1)
         ny = lny
@@ -701,20 +739,30 @@ def plan_compact_reduce_from_table(tab: FrameCullTable, proj, width, height,
                                    slack: float = 1.05, band=(0, 1)):
     """Host plan for the COMPACT grad-reduce layout (segreduce.py).
 
-    Returns (capacity_live, capacity_reduce) for one band: live-gaussian
-    capacity (bucketed multiple of GROUP) and the DENSE reduction row
-    count — the alignment-free layout's rows are exactly the surviving
-    pairs (x slack), nothing else, and every planned row costs a hard
-    ~11.6 ns in the backward permutation gather.  Runtime overflow of
-    either budget is folded into topology overflow (re-plan contract)."""
+    Returns (capacity_live, capacity_reduce, capacity_range) for one band:
+    live-gaussian capacity (bucketed multiple of GROUP), the DENSE
+    reduction row count — the alignment-free layout's rows are exactly the
+    surviving pairs (x slack), nothing else, and every planned row costs a
+    hard ~11.6 ns in the backward permutation gather — and the live-ID
+    WINDOW width (first..last live id, x slack): with a y-sorted model and
+    contiguous bands this is the narrow expansion window (span banding);
+    for round-robin bands or unsorted models it degrades to ~N and the
+    expansion runs full-table exactly as before.  Runtime overflow of any
+    budget is folded into topology overflow (re-plan contract)."""
     _, per_tile, _, _, live_counts = _host_expand_cull(tab, proj, width,
                                                        height, cfg, band)
+    n = live_counts.shape[0]
     n_live = int((live_counts > 0).sum())
     survivors = int(per_tile.sum())
     cap_live = _bucket_capacity(int(math.ceil(max(n_live, 1) * slack)),
                                 GROUP, ratio=1.1)
     cap_r = plan_rows_compact(int(math.ceil(survivors * slack)))
-    return cap_live, cap_r
+    live_idx = np.nonzero(live_counts > 0)[0]
+    width_ids = (int(live_idx[-1]) - int(live_idx[0]) + 1) if live_idx.size \
+        else 1
+    cap_range = min(_bucket_capacity(int(math.ceil(width_ids * slack)),
+                                     GROUP, ratio=1.1), n)
+    return cap_live, cap_r, cap_range
 
 
 def plan_capacity(act: ActivatedGaussians, w2c, proj, width, height,
@@ -767,25 +815,41 @@ def untile(img_tiled: jnp.ndarray, width: int, height: int, ts: int):
             .transpose(0, 3, 1, 4, 2).reshape(height, width, c))
 
 
-def band_rays(camera, cfg: RenderConfig, stride: int, aabb=None):
-    """Tiled rays split into `stride` round-robin tile-row bands.
+def band_rays(camera, cfg: RenderConfig, stride: int, aabb=None,
+              mode: str = "stride"):
+    """Tiled rays split into `stride` tile-row bands.
 
-    Returns (stride, local_tiles, 8, R): axis 0 is the band (shardable);
-    band d owns global tile rows d, d+stride, d+2*stride, ...
+    mode="stride" (round-robin): band d owns global tile rows d, d+stride,
+    d+2*stride, ... — the load-balanced default for round-robin banding and
+    multi-chip tile-row sharding.  mode="contig" (span banding): band d
+    owns the CONTIGUOUS rows [d*ny/stride, (d+1)*ny/stride) — required for
+    the y-sorted-model live-id windows (contiguity in image rows <=>
+    contiguity in sorted gaussian ids).  Returns
+    (stride, local_tiles, RAY_ROWS, R): axis 0 is the band (shardable).
     """
     ts = cfg.tile_size
     rays = tile_rays(camera, cfg, aabb)                 # (ny*nx, 24, R)
     ny = camera.height // ts
     nx = camera.width // ts
     assert ny % stride == 0, (ny, stride)
+    if mode == "contig":
+        return rays.reshape(stride, (ny // stride) * nx, RAY_ROWS, ts * ts)
+    assert mode == "stride", mode
     byband = rays.reshape(ny // stride, stride, nx, RAY_ROWS, ts * ts)
     return byband.transpose(1, 0, 2, 3, 4).reshape(
         stride, (ny // stride) * nx, RAY_ROWS, ts * ts)
 
 
-def unband_image(bands: jnp.ndarray, width: int, height: int, ts: int):
-    """(stride, local_H, W, C) band images -> interleaved (H, W, C)."""
+def unband_image(bands: jnp.ndarray, width: int, height: int, ts: int,
+                 mode: str = "stride"):
+    """(stride, local_H, W, C) band images -> (H, W, C).
+
+    mode="stride" interleaves round-robin tile rows; mode="contig" stacks
+    the bands' contiguous row blocks (a plain reshape)."""
     stride, lh, w, c = bands.shape
+    if mode == "contig":
+        return bands.reshape(height, width, c)
+    assert mode == "stride", mode
     lny = lh // ts
     return (bands.reshape(stride, lny, ts, w, c)
             .transpose(1, 0, 2, 3, 4).reshape(height, width, c))

@@ -27,22 +27,36 @@ BANDS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 W = int(sys.argv[3]) if len(sys.argv) > 3 else 1920
 H = int(sys.argv[4]) if len(sys.argv) > 4 else 1088
 K = int(os.environ.get("GVRT_CHAIN", 4))
+#: span banding (round-5): contiguous tile-row bands over a y-sorted model
+#: -> per-band live-id windows; GVRT_SPAN=0 reverts to round-robin banding
+SPAN = bool(int(os.environ.get("GVRT_SPAN", "1")))
+MODE = "contig" if SPAN else "stride"
 
 cfg = g3.DEFAULT_CONFIG
 BANDS = resolve_bands(H, BANDS, cfg)
 print(f"bands resolved to {BANDS} (tile rows {H // cfg.tile_size})", flush=True)
-# garden-like: big scene extent, sub-pixel to few-pixel gaussians
+# garden-like: big scene extent, sub-pixel to few-pixel gaussians, low
+# trained-scene-like opacities (the r4b >= 15 hits/ray honesty bar:
+# measured 20.46 mean hits/ray at 5M with these ranges, SCALE_r04b.md)
 model = g3.random_gaussians(jax.random.key(0), N, extent=2.0,
-                            scale_range=(-7.5, -5.5))
+                            scale_range=(-7.3, -5.3))
+model.opacity_logit = jax.random.uniform(jax.random.key(7), (N,),
+                                         minval=-3.5, maxval=0.5)
 model.means = model.means.at[:, 2].add(-4.0)
 cam = g3.Camera.from_fovy(W, H, 60.0, np.eye(4))
+if SPAN:
+    t0 = time.time()
+    model = model.sorted_for_camera(cam, cfg)   # one-time scene prep
+    print(f"y-sort (span banding scene prep): {time.time()-t0:.1f}s",
+          flush=True)
 
 t0 = time.time()
-cap, cap_pad, cap_live, cap_r = plan_capacity_banded(model, cam, BANDS, cfg,
-                                                     with_reduce=True)
+cap, cap_pad, cap_live, cap_r, cap_range = plan_capacity_banded(
+    model, cam, BANDS, cfg, with_reduce=True, mode=MODE)
 print(f"plan: {time.time()-t0:.1f}s  band capacity {(cap, cap_pad)} "
-      f"compact reduce (live {cap_live}, rows {cap_r}) "
-      f"(pairs/band ~{cap}, x{BANDS} bands)", flush=True)
+      f"compact reduce (live {cap_live}, rows {cap_r}, id-window {cap_range} "
+      f"of {N}) (pairs/band ~{cap}, x{BANDS} bands, mode {MODE})",
+      flush=True)
 print(f"per-band chunk array: {cap_pad * 64 * 4 / 1e9:.2f} GB "
       f"(unbanded would be ~{BANDS * cap_pad * 64 * 4 / 1e9:.1f} GB "
       f"fwd + the same again for backward cotangents)", flush=True)
@@ -52,7 +66,8 @@ target = jnp.zeros((H, W, 3)) + 0.3
 
 def loss(m):
     out = render_image_banded(m, cam, BANDS, cfg,
-                              capacity=(cap, cap_pad, cap_live, cap_r))
+                              capacity=(cap, cap_pad, cap_live, cap_r,
+                                        cap_range), span=SPAN)
     return jnp.mean((out["rgb"] - target) ** 2), out
 
 
@@ -131,8 +146,9 @@ from gvrt_tpu.render.banded import BandedRenderer, _render_banded_bound
 # reduce + the "gather" checkpoint policy (saves each band's gathered
 # parameter rows, rematerializes only the kernel forward)
 r = BandedRenderer(W, H, BANDS, cfg, capacity=(cap, cap_pad),
-                   remat="gather")
+                   remat="gather", span=SPAN)
 r.capacity_live, r.capacity_reduce = cap_live, cap_r
+r.capacity_range = cap_range
 t0 = time.time()
 topos = r.bind(model, cam)
 sync(topos.chunk_tile)
@@ -149,7 +165,7 @@ def fwd_bound_k(m, topos, rays_bands):
     def body(i, carry):
         m, acc = carry
         img, _ = _render_banded_bound(m, topos, rays_bands, W, H,
-                                      cfg, r.impl)
+                                      cfg, r.impl, mode=MODE)
         val = jnp.mean((img[..., 0:3] - target) ** 2)
         m = dataclasses.replace(m, means=m.means + 0.0 * val)
         return (m, acc + val)
@@ -170,7 +186,7 @@ print(f"fwd-only (topology held): {best_fb*1e3:.1f} ms/frame  "
 def train_bound_k(m, topos, rays_bands):
     def loss_b(m):
         img, _ = _render_banded_bound(m, topos, rays_bands, W, H,
-                                      cfg, r.impl)
+                                      cfg, r.impl, mode=MODE)
         return jnp.mean((img[..., 0:3] - target) ** 2)
 
     def body(i, carry):
@@ -203,10 +219,12 @@ gc.collect()
 from gvrt_tpu.train import TrainConfig, Trainer
 
 tc = TrainConfig(total_steps=10, refresh_every=10,
-                 optimizer="adafactor", banded_remat="gather")
+                 optimizer="adafactor", banded_remat="gather",
+                 span_bands=SPAN)
 trainer = Trainer(W, H, cfg, tc, capacity=(cap, cap_pad), n_bands=BANDS)
 trainer._banded.capacity_live = cap_live
 trainer._banded.capacity_reduce = cap_r
+trainer._banded.capacity_range = cap_range
 state = trainer.init(model)
 t0 = time.time()
 state, tloss = trainer.step(state, cam, target)
@@ -222,6 +240,7 @@ assert np.isfinite(tloss2)
 
 print(json.dumps({
     "config": 2, "n_gauss": N, "bands": BANDS, "res": [W, H],
+    "span": SPAN, "cap_range": cap_range,
     "band_capacity": [cap, cap_pad],
     "fwd_bwd_ms": best * 1e3, "fwd_ms": best_f * 1e3,
     "fwd_bwd_bound_ms": best_tb * 1e3, "fwd_bound_ms": best_fb * 1e3,
