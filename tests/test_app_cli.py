@@ -110,3 +110,38 @@ def test_cli_module_invocation(scene_ply):
         capture_output=True, text=True, cwd=repo, env=env, timeout=120)
     assert res.returncode == 0, res.stderr
     assert "backend:" in res.stdout
+
+
+def test_cli_eval_banded(scene_ply, tmp_path, capsys):
+    """`eval --bands` must route through the banded renderer (r4 verdict
+    weak 4: the flag was registered but ignored — garden-scale eval OOMed
+    through the unbanded TiledRenderer)."""
+    out_dir = str(tmp_path / "out_banded")
+    main(["eval", "--ply", scene_ply, "--width", "32", "--height", "32",
+          "--out", out_dir, "--impl", "scan", "--frames", "2",
+          "--bands", "2"])
+    files = sorted(os.listdir(out_dir))
+    assert "r_0.png" in files and "r_1.png" in files
+    # banded output == unbanded output for the same cameras
+    out_dir2 = str(tmp_path / "out_unbanded")
+    main(["eval", "--ply", scene_ply, "--width", "32", "--height", "32",
+          "--out", out_dir2, "--impl", "scan", "--frames", "2",
+          "--gt-dir", out_dir])
+    out = capsys.readouterr().out
+    assert "Average" in out
+    a = g3.io.load_png(os.path.join(out_dir, "r_0.png"))
+    b = g3.io.load_png(os.path.join(out_dir2, "r_0.png"))
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1  # 8-bit rounding
+
+
+def test_cli_train_optimize_poses(scene_ply, tmp_path, capsys):
+    """`train --optimize-poses --perturb-poses`: the pose-recovery demo
+    (r4 verdict item 7) runs end-to-end and reports improvement."""
+    out_ply = str(tmp_path / "tuned_pose.ply")
+    main(["train", "--ply", scene_ply, "--width", "16", "--height", "16",
+          "--impl", "scan", "--steps", "2", "--frames", "2",
+          "--optimize-poses", "10", "--perturb-poses", "0.02",
+          "--out", out_ply])
+    out = capsys.readouterr().out
+    assert "pose-opt:" in out and "cameras improved" in out
+    assert os.path.exists(out_ply)
