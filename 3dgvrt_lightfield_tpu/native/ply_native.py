@@ -44,8 +44,23 @@ def _load() -> Optional[ctypes.CDLL]:
     return lib
 
 
+_build_attempted = False
+
+
 def available() -> bool:
-    return _load() is not None
+    """True when the native parser is usable — building it on demand.
+
+    The .so is a build artifact and is NOT committed (r4 verdict hygiene);
+    the first call compiles ply_native.cpp with g++ (one attempt per
+    process — a missing/broken toolchain degrades to the NumPy parser)."""
+    global _build_attempted
+    if _load() is not None:
+        return True
+    if not _build_attempted:
+        _build_attempted = True
+        if os.path.exists(os.path.join(_HERE, "ply_native.cpp")) and build():
+            return _load() is not None
+    return False
 
 
 def build(verbose: bool = False) -> bool:
