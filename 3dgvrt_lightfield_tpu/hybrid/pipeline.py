@@ -131,9 +131,15 @@ def _surface_attributes(dev: _DeviceScene, hit, rays):
     }
 
 
-def _shade_local(dev: _DeviceScene, cfg: HybridConfig, surf, view):
+def _shade_local(dev: _DeviceScene, cfg: HybridConfig, surf, view,
+                 light_atten=None):
     """Ambient + emissive + per-light GGX with shadow rays
-    (raygen.rgen:97-145 == closesthit.rchit:100-145)."""
+    (raygen.rgen:97-145 == closesthit.rchit:100-145).
+
+    `light_atten` (P, num_lights), optional: continuous per-pixel
+    attenuation multiplying each light's contribution — the combined
+    renderer passes the gaussian field's transmittance along the shadow
+    ray here (render/combined.py gaussian shadows)."""
     albedo = surf["albedo"]
     bounce_surface = (((cfg.reflection) & (surf["reflectance"] > 0.0))
                       | ((cfg.refraction) & (surf["refractance"] > 0.0)))
@@ -160,10 +166,13 @@ def _shade_local(dev: _DeviceScene, cfg: HybridConfig, surf, view):
             shadowed = occluded(srays, dev.tris,
                                 jnp.full_like(dist, 0.1), tmax)
             lit = lit & ~shadowed
-        color = color + direct_lighting(
+        contrib = direct_lighting(
             pos, surf["normal"], view, albedo, surf["metallic"],
             surf["roughness"], f0, lpos, lcolor, lradius, lit,
             cfg.attenuation)
+        if light_atten is not None:
+            contrib = contrib * light_atten[:, li][:, None]
+        color = color + contrib
     return color
 
 

@@ -90,3 +90,78 @@ def test_combined_differentiable():
     g = jax.grad(loss)(model)
     n = float(jnp.linalg.norm(g.means))
     assert np.isfinite(n) and n > 0
+
+
+def test_gaussian_shadow_transmittance_semantics():
+    """Transmittance along point->light shadow rays through the field:
+    exact alpha gates, clear path -> 1, blocked path -> attenuated,
+    monotone in opacity."""
+    from gvrt_tpu.render.combined import gaussian_shadow_transmittance
+    # one big opaque gaussian at the origin
+    model = g3.GaussianModel(
+        means=jnp.zeros((1, 3)),
+        scales_log=jnp.full((1, 3), -1.2),
+        quats=jnp.asarray([[1.0, 0, 0, 0]]),
+        opacity_logit=jnp.asarray([4.0]),
+        sh_dc=jnp.zeros((1, 3)),
+        sh_rest=jnp.zeros((1, 15, 3)),
+    )
+    act = model.activate()
+    light = jnp.asarray([0.0, 0.0, 3.0])
+    pts = jnp.asarray([
+        [0.0, 0.0, -2.0],   # behind the gaussian: segment crosses it
+        [3.0, 0.0, 3.0],    # beside the light: segment misses it
+        [0.0, 0.0, 1.0],    # between gaussian and light: clear path
+    ])
+    t = np.asarray(gaussian_shadow_transmittance(act, pts, light, CFG))
+    assert t[0] < 0.1, t
+    assert t[1] > 0.999 and t[2] > 0.999, t
+    # lower opacity -> more transmittance
+    weak = dataclasses.replace(model, opacity_logit=jnp.asarray([-1.0]))
+    t2 = np.asarray(gaussian_shadow_transmittance(
+        weak.activate(), pts, light, CFG))
+    assert t2[0] > t[0]
+    # chunked scan == single chunk (order-independent product)
+    t3 = np.asarray(gaussian_shadow_transmittance(act, pts, light, CFG,
+                                                  chunk=7))
+    np.testing.assert_allclose(t3, t, rtol=1e-6)
+
+
+def test_combined_gaussian_shadows_darken_mesh():
+    """gaussian_shadows=True darkens exactly the mesh pixels whose light
+    path crosses the gaussian cloud; unoccluded pixels are unchanged."""
+    cam = g3.Camera.from_fovy(32, 32, 60.0, np.eye(4))
+    # camera-facing wall with +z normal (winding matters: direct lighting
+    # needs n.l > 0, unlike the emissive-only walls of the other tests)
+    scene = MeshScene()
+    white = Material(base_color=(1.0, 1.0, 1.0, 1.0), metallic=0.0,
+                     roughness=1.0, emissive=(0.1, 0.1, 0.1))
+    pos, idx = _quad([-5, -5, -4.0], [0, -5, -4.0], [0, 5, -4.0],
+                     [-5, 5, -4.0])
+    scene.add_object("wall", pos, idx, white)
+    # light in front of the wall, off to the left
+    scene.lights.append(Light(position=(-2.0, 0.0, -1.0), color=(1, 1, 1),
+                              radius=50.0))
+    # a dense gaussian blob between the light and the wall's center-left
+    model = g3.GaussianModel(
+        means=jnp.asarray([[-1.5, 0.0, -2.5]]),
+        scales_log=jnp.full((1, 3), -1.6),
+        quats=jnp.asarray([[1.0, 0, 0, 0]]),
+        opacity_logit=jnp.asarray([6.0]),
+        sh_dc=jnp.zeros((1, 3)),
+        sh_rest=jnp.zeros((1, 15, 3)),
+    )
+    base = render_combined(model, scene, cam, CFG, HCFG, impl="scan")
+    shad = render_combined(model, scene, cam, CFG, HCFG, impl="scan",
+                           gaussian_shadows=True)
+    on_wall = np.isfinite(np.asarray(base["mesh_t"]))
+    assert on_wall.sum() > 50
+    mb = np.asarray(base["mesh_rgb"])
+    ms = np.asarray(shad["mesh_rgb"])
+    diff = (mb - ms).sum(-1)
+    # shadows only REMOVE light
+    assert diff.min() >= -1e-6
+    # some wall pixels are actually shadowed, and not all of them
+    shadowed = (diff > 1e-3) & on_wall
+    assert 0 < shadowed.sum() < on_wall.sum(), (shadowed.sum(),
+                                                on_wall.sum())
