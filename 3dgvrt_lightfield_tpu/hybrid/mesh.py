@@ -155,8 +155,14 @@ class MeshScene:
         tt = (np.asarray(tangents, np.float32)[indices] if tangents is not None
               else np.zeros((len(indices), 3, 4), np.float32))
 
-        mat_id = len(self.materials)
-        self.materials.append(material)
+        # material may be an existing table index (instanced registration
+        # shares one material across instances, SceneObjectManager.h:41-49)
+        if isinstance(material, Material):
+            mat_id = len(self.materials)
+            self.materials.append(material)
+        else:
+            mat_id = int(material)
+            assert 0 <= mat_id < len(self.materials), mat_id
         obj = SceneObject(name=name, first_tri=len(self.tri_pos),
                           num_tris=len(tp), material=mat_id, dynamic=dynamic,
                           update=update)
@@ -168,6 +174,33 @@ class MeshScene:
         self.tri_material = np.concatenate(
             [self.tri_material, np.full((len(tp),), mat_id, np.int32)])
         return obj
+
+    def add_instanced(self, name: str, positions: np.ndarray,
+                      indices: np.ndarray, material: Material,
+                      transforms, normals: Optional[np.ndarray] = None,
+                      uvs: Optional[np.ndarray] = None,
+                      tangents: Optional[np.ndarray] = None,
+                      dynamic: bool = False,
+                      update=None) -> List[SceneObject]:
+        """Register K instances sharing one geometry + one material entry
+        (the reference's instanced registration,
+        base/SceneObjectManager.h:41-49).
+
+        `transforms` is a sequence of (4, 4) per-instance matrices; each
+        instance becomes its own named SceneObject (``f"{name}.{i}"``) so
+        the per-frame animation hooks apply per instance — `update` may be
+        one callable shared by all instances or a per-instance sequence.
+        """
+        mat_id = len(self.materials)
+        self.materials.append(material)
+        objs = []
+        for i, tr in enumerate(transforms):
+            upd = update[i] if isinstance(update, (list, tuple)) else update
+            objs.append(self.add_object(
+                f"{name}.{i}", positions, indices, mat_id, normals=normals,
+                uvs=uvs, tangents=tangents, transform=tr, dynamic=dynamic,
+                update=upd))
+        return objs
 
     @property
     def num_tris(self) -> int:

@@ -296,3 +296,38 @@ class TestGltf:
         path.write_bytes(glb)
         scene = load_gltf(str(path))
         assert scene.num_tris == 1
+
+
+def test_instanced_objects_share_geometry_and_material():
+    """add_instanced (SceneObjectManager.h:41-49 instanced registration):
+    K instances share ONE material entry, each is its own animatable
+    SceneObject, and instance triangles land at the given transforms."""
+    from gvrt_tpu.hybrid.mesh import MeshScene, _quad, oscillate
+    s = MeshScene()
+    pos, idx = _quad([-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0])
+    red = Material(base_color=(1.0, 0.0, 0.0, 1.0))
+    trs = []
+    for i in range(3):
+        t = np.eye(4, dtype=np.float32)
+        t[0, 3] = 3.0 * i
+        trs.append(t)
+    objs = s.add_instanced("panel", pos, idx, red, trs, dynamic=True,
+                           update=[None, None, oscillate(1, 0.5, 1.0)])
+    assert len(objs) == 3
+    assert len(s.materials) == 1          # shared material entry
+    assert len(np.unique(s.tri_material)) == 1
+    assert s.num_tris == 3 * 2
+    # instance i's triangles are translated by 3*i in x
+    for i, o in enumerate(objs):
+        tp = s.tri_pos[o.first_tri:o.first_tri + o.num_tris]
+        np.testing.assert_allclose(tp[..., 0].mean(), 3.0 * i, atol=1e-6)
+        assert o.name == f"panel.{i}"
+    # per-instance animation: only instance 2 moves
+    t1 = s.animated(0.25)
+    moved = t1.tri_pos[objs[2].first_tri:objs[2].first_tri + 2]
+    still = t1.tri_pos[objs[0].first_tri:objs[0].first_tri + 2]
+    base2 = s.tri_pos[objs[2].first_tri:objs[2].first_tri + 2]
+    assert np.abs(moved[..., 1] - base2[..., 1]).max() > 0.4
+    np.testing.assert_array_equal(still,
+                                  s.tri_pos[objs[0].first_tri:
+                                            objs[0].first_tri + 2])
