@@ -77,6 +77,14 @@ def _common(p):
     p.add_argument("--bands", type=int, default=0,
                    help="render in N sequential tile-row bands (bounded "
                         "memory for garden-scale scenes; render/banded.py)")
+    p.add_argument("--span-bands", action="store_true",
+                   help="contiguous tile-row bands + live-id windows "
+                        "(training only; pairs best with a y-sorted model "
+                        "— GaussianModel.sorted_for_camera)")
+    p.add_argument("--balance-bands", action="store_true",
+                   help="pair-balanced span bands: rows at the survivor-"
+                        "pair quantiles, per-band capacities (implies "
+                        "--span-bands; training only)")
 
 
 def _dump_poses(cams, path):
@@ -276,7 +284,14 @@ def cmd_train(args):
               f"mean loss {np.mean([r['loss0'] for r in reports]):.3e} -> "
               f"{np.mean([r['loss1'] for r in reports]):.3e}")
     mesh = make_mesh(args.devices) if args.devices else None
-    tc = TrainConfig(total_steps=args.steps)
+    span = args.span_bands or args.balance_bands
+    tc = TrainConfig(total_steps=args.steps, optimizer=args.optimizer,
+                     banded_remat=args.banded_remat,
+                     span_bands=span, balance_bands=args.balance_bands)
+    if args.sort_scene:
+        # scene prep for span banding's live-id windows: one-time y-sort
+        # against the first camera (SCALE_r05.md; 129 s at 5M)
+        model = model.sorted_for_camera(cams[0], DEFAULT_CONFIG)
     if args.bands:
         # garden-scale path: banded bounded-memory training, one camera per
         # step, held per-band topologies (tc.refresh_every cadence).
@@ -295,8 +310,13 @@ def cmd_train(args):
                   f"{args.width}x{args.height}")
             args.width, args.height = bw, bh
         from .render.banded import resolve_bands_common
-        n_bands = resolve_bands_common([c.height for c in cams], args.bands,
-                                       DEFAULT_CONFIG)
+        if args.balance_bands:
+            # balanced bands have variable row counts — any n <= tile rows
+            n_bands = max(1, min(args.bands,
+                                 args.height // DEFAULT_CONFIG.tile_size))
+        else:
+            n_bands = resolve_bands_common([c.height for c in cams],
+                                           args.bands, DEFAULT_CONFIG)
         trainer = Trainer(args.width, args.height, DEFAULT_CONFIG, tc,
                           impl=args.impl, n_bands=n_bands)
         capacity = None
@@ -336,7 +356,8 @@ def cmd_train(args):
             def __init__(self):
                 self._r = BandedRenderer(args.width, args.height,
                                          trainer.n_bands, DEFAULT_CONFIG,
-                                         impl=args.impl)
+                                         impl=args.impl, span=span,
+                                         balance=args.balance_bands)
                 self._key = None
                 self._age = 0
 
@@ -488,6 +509,19 @@ def main(argv=None):
                     help="shard camera batch over N devices")
     pt.add_argument("--frames", type=int, default=16)
     pt.add_argument("--out", default="finetuned.ply")
+    pt.add_argument("--optimizer", default="adam",
+                    choices=["adam", "adafactor"],
+                    help="adafactor factors the second moment (~1x instead "
+                         "of 2x parameter bytes of state — the config[2]-"
+                         "scale choice, TrainConfig docstring)")
+    pt.add_argument("--banded-remat", default="full",
+                    choices=["full", "gather", "none"],
+                    help="band-scan recompute/memory ladder for --bands "
+                         "training (render/banded._render_banded_bound)")
+    pt.add_argument("--sort-scene", action="store_true",
+                    help="pre-sort the model by image row for the first "
+                         "camera (scene prep for --span-bands live-id "
+                         "windows; one-time cost)")
     pt.add_argument("--ckpt-dir", help="checkpoint/resume directory (orbax)")
     pt.add_argument("--ckpt-every", type=int, default=50,
                     help="save a checkpoint every N steps")

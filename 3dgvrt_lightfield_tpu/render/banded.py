@@ -187,6 +187,15 @@ def _render_banded_bound(model, topos, rays_bands, width, height, cfg, impl,
     the reference's AS-build-once shape, SplitBLAS.cpp:706-752 rebuilds
     cells only on demand)."""
     from .rows_vjp import rows64_from_model
+    if isinstance(rays_bands, (tuple, list)):
+        # VARIABLE (pair-balanced) bands: per-band shapes differ, so the
+        # bands are an UNROLLED python loop instead of a lax.scan — each
+        # band gets its OWN static capacities (no max-merge padding on the
+        # two ~11.6 ns/row gathers) and its own row count (~equal pairs per
+        # band, binning.plan_row_split).  n_bands is small (1-4 at 5M), so
+        # the unroll costs one extra kernel instantiation per band.
+        return _render_bound_unrolled(model, topos, rays_bands, width,
+                                      height, cfg, impl, remat)
     n_bands, _, _, _ = rays_bands.shape
     lh = height // n_bands
     # raw model in, hand-derived 1D-column VJP for the parameter table
@@ -234,6 +243,81 @@ def _render_banded_bound(model, topos, rays_bands, width, height, cfg, impl,
     return img, overflow
 
 
+def _render_bound_unrolled(model, topos, rays_bands, width, height, cfg,
+                           impl, remat: str):
+    """Variable-band (pair-balanced) bound render: unrolled band loop.
+
+    Bands are CONTIGUOUS tile-row blocks of unequal row counts (chosen at
+    the pair-count quantiles, binning.plan_row_split); `topos` and
+    `rays_bands` are tuples with per-band shapes.  Same per-band body and
+    remat ladder as the scan path; the final image is a plain row-block
+    concatenation.  Called from inside _render_banded_bound's jit."""
+    from .rows_vjp import rows64_from_model
+    ts = cfg.tile_size
+    nx = width // ts
+    rows64 = rows64_from_model(model, cfg)
+
+    def body(rays_b, topo):
+        chunks = gather_from_rows(rows64, topo, cfg)
+        if remat == "gather":
+            chunks = jax.ad_checkpoint.checkpoint_name(chunks, "band_chunks")
+        binned = binned_scene(chunks, topo)
+        acc = forward_dispatch(binned, rays_b, cfg, impl)
+        return binned.overflow, acc
+
+    if remat == "full":
+        body_fn = jax.checkpoint(body)
+    elif remat == "gather":
+        body_fn = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.save_only_these_names(
+                "band_chunks"))
+    else:
+        assert remat == "none", remat
+        body_fn = body
+
+    overflow = jnp.zeros((), jnp.int32)
+    imgs = []
+    for rays_b, topo in zip(rays_bands, topos):
+        ovf, acc = body_fn(rays_b, topo)
+        overflow = overflow + ovf
+        lh = (rays_b.shape[0] // nx) * ts
+        imgs.append(untile(acc, width, lh, ts))
+    img = jnp.concatenate(imgs, axis=0)
+    assert img.shape[0] == height, (img.shape, height)
+    return img, overflow
+
+
+def plan_capacity_balanced(model: GaussianModel, camera, n_bands: int,
+                           cfg: RenderConfig = DEFAULT_CONFIG,
+                           slack: float = 1.3):
+    """Pair-balanced contiguous plan: (specs, per-band capacity tuples).
+
+    specs = ((row_offset, row_count), ...) at the survivor-pair quantiles;
+    caps[b] = (capacity, capacity_padded, capacity_live, capacity_reduce,
+    capacity_range) planned for band b ALONE — the variable-band renderer
+    compiles each band at its own shapes, so no max-merge is applied."""
+    import numpy as np
+    from .binning import plan_compact_reduce_from_table, plan_row_split
+    act = model.activate()
+    w2c, proj = _camera_mats(camera)
+    tab = jax.tree.map(np.asarray, frame_cull_table(
+        act, jnp.asarray(w2c), jnp.asarray(proj), camera.width,
+        camera.height, cfg))
+    specs = plan_row_split(tab, proj, camera.width, camera.height, cfg,
+                           n_bands)
+    caps = []
+    for off, count in specs:
+        band = (off, 1, count)
+        c, cp = plan_capacity_from_table(tab, proj, camera.width,
+                                         camera.height, cfg, slack=slack,
+                                         band=band)
+        cl, cr, crg = plan_compact_reduce_from_table(
+            tab, proj, camera.width, camera.height, cfg,
+            slack=max(slack, 1.05), band=band)
+        caps.append((c, cp, cl, cr, crg))
+    return specs, tuple(caps)
+
+
 class BandedRenderer:
     """Bounded-memory banded pipeline with bind-once topology reuse.
 
@@ -246,8 +330,12 @@ class BandedRenderer:
     def __init__(self, width: int, height: int, n_bands: int,
                  cfg: RenderConfig = DEFAULT_CONFIG,
                  capacity: Optional[tuple] = None, impl: str = "auto",
-                 remat: str = "full", span: bool = False):
-        assert (height // cfg.tile_size) % n_bands == 0, (height, n_bands)
+                 remat: str = "full", span: bool = False,
+                 balance: bool = False):
+        # balanced bands have VARIABLE row counts — no divisibility needed
+        assert balance or (height // cfg.tile_size) % n_bands == 0, \
+            (height, n_bands)
+        assert not balance or span, "balance requires span (contig) banding"
         self.width, self.height, self.n_bands = width, height, n_bands
         self.cfg, self.capacity = cfg, capacity
         self.impl = _resolve_impl(impl)
@@ -260,6 +348,14 @@ class BandedRenderer:
         #: a narrow contiguous id range (SplitBLAS's spatial partition,
         #: SplitBLAS.cpp:678-752, done on ids instead of a BVH)
         self.mode = "contig" if span else "stride"
+        #: PAIR-BALANCED variable bands (requires span): band row counts
+        #: come from binning.plan_row_split and every band compiles at its
+        #: OWN capacities — topologies/rays are tuples, the bound render
+        #: unrolls (see _render_bound_unrolled).  plan() fills band_specs /
+        #: band_caps instead of the uniform capacity fields.
+        self.balance = balance
+        self.band_specs = None  # ((row_offset, row_count), ...) when balance
+        self.band_caps = None   # per-band (cap, cap_pad, cl, cr, crg)
         #: compact grad-reduce budgets (0 = XLA prefix fallback at scale);
         #: set by plan() so bound topologies carry a CompactReducePlan
         self.capacity_live = 0
@@ -268,6 +364,20 @@ class BandedRenderer:
         self._bound = None      # (topos, rays_bands)
 
     def plan(self, model: GaussianModel, camera, slack: float = 1.3):
+        if self.balance:
+            specs, caps = plan_capacity_balanced(model, camera, self.n_bands,
+                                                 self.cfg, slack=slack)
+            if self.band_caps is not None and specs == self.band_specs:
+                # same split: max-merge per band so a drift re-plan cannot
+                # shrink compiled shapes (bucket-oscillation guard, mirrors
+                # the uniform paths)
+                caps = tuple(tuple(max(a, b) for a, b in zip(old, new))
+                             for old, new in zip(self.band_caps, caps))
+            self.band_specs, self.band_caps = specs, caps
+            # bookkeeping mirror for callers that read .capacity
+            self.capacity = (max(c[0] for c in caps),
+                             max(c[1] for c in caps))
+            return self.capacity
         cap, cap_pad, cap_live, cap_r, cap_range = plan_capacity_banded(
             model, camera, self.n_bands, self.cfg, slack=slack,
             with_reduce=True, mode=self.mode)
@@ -278,11 +388,20 @@ class BandedRenderer:
         return self.capacity
 
     def _build_topos(self, model: GaussianModel, camera):
-        cap, cap_pad = self.capacity
         act = model.activate()
         w2c, proj = _camera_mats(camera)
         tab = frame_cull_table(act, jnp.asarray(w2c), jnp.asarray(proj),
                                self.width, self.height, self.cfg)
+        if self.balance:
+            assert self.band_specs is not None, "plan() before bind()"
+            return tuple(
+                bin_topology_from_table(
+                    tab, proj, self.width, self.height, self.cfg, c, cp,
+                    row_offset=off, row_stride=1, row_count=count,
+                    capacity_live=cl, capacity_reduce=cr, capacity_range=crg)
+                for (off, count), (c, cp, cl, cr, crg)
+                in zip(self.band_specs, self.band_caps))
+        cap, cap_pad = self.capacity
         topos = []
         for off in range(self.n_bands):
             b_off, b_stride, b_count = _band_spec(
@@ -304,19 +423,27 @@ class BandedRenderer:
         long run) triggers an eager re-plan + rebuild, mirroring
         TiledRenderer.bind — a truncated pair list would otherwise silently
         degrade every gradient until the next plan."""
-        if self.capacity is None:
+        if self.capacity is None or (self.balance and self.band_caps is None):
             self.plan(model, camera)
         topos = self._build_topos(model, camera)
-        total_overflow = topos.overflow.sum()
+        ovf_leaves = [t.overflow for t in topos] if self.balance \
+            else [topos.overflow]
+        total_overflow = sum(jnp.sum(o) for o in ovf_leaves)
         if (not isinstance(total_overflow, jax.core.Tracer)
                 and int(total_overflow) > 0):
             cap0 = self.capacity
+            # balance: plan() max-merges band_caps itself when the split is
+            # unchanged; a changed split re-shapes every band anyway
             self.plan(model, camera)
             self.capacity = (max(cap0[0], self.capacity[0]),
                              max(cap0[1], self.capacity[1]))
             topos = self._build_topos(model, camera)
-        self._bound = (topos, band_rays(camera, self.cfg, self.n_bands,
-                                        mode=self.mode))
+        if self.balance:
+            from .binning import band_rays_split
+            rays = band_rays_split(camera, self.cfg, self.band_specs)
+        else:
+            rays = band_rays(camera, self.cfg, self.n_bands, mode=self.mode)
+        self._bound = (topos, rays)
         return topos
 
     def render_bound(self, model: GaussianModel):

@@ -840,6 +840,48 @@ def band_rays(camera, cfg: RenderConfig, stride: int, aabb=None,
         stride, (ny // stride) * nx, RAY_ROWS, ts * ts)
 
 
+def plan_row_split(tab: FrameCullTable, proj, width, height,
+                   cfg: RenderConfig, n_bands: int):
+    """PAIR-BALANCED contiguous tile-row split: ((offset, count), ...).
+
+    Uniform contiguous bands (span banding) pay a load-balance penalty the
+    round-robin bands did not: per-band capacities are max-merged and the
+    central rows of a projected scene are heavier than the edge rows, so
+    every band's gather pays the heaviest band's row count (SCALE_r05.md
+    "why -67 and not -178").  This planner cuts the tile rows at the
+    n-quantiles of the per-row SURVIVOR-pair prefix sum instead — unequal
+    row counts, ~equal pairs — analogous to how SplitBLAS sizes its grid
+    cells by primitive count, not extent (SplitBLAS.cpp:678-752).  Bands
+    keep >= 1 row each; consumed by the variable-band (unrolled) renderer,
+    which gives every band its OWN static capacities.
+    """
+    _, per_tile, nx, ny, _ = _host_expand_cull(tab, proj, width, height, cfg)
+    assert 1 <= n_bands <= ny, (n_bands, ny)
+    row_pairs = per_tile.reshape(ny, nx).sum(axis=1)
+    cum = np.cumsum(row_pairs)
+    total = max(int(cum[-1]), 1)
+    cuts = [0]
+    for k in range(1, n_bands):
+        j = int(np.searchsorted(cum, total * k / n_bands))
+        # every band keeps >= 1 row (empty-sky rows can make quantiles
+        # collide); leave enough rows for the remaining bands too
+        cuts.append(max(cuts[-1] + 1, min(j, ny - (n_bands - k))))
+    cuts.append(ny)
+    return tuple((cuts[i], cuts[i + 1] - cuts[i]) for i in range(n_bands))
+
+
+def band_rays_split(camera, cfg: RenderConfig, specs, aabb=None):
+    """Per-band ray arrays for a variable (offset, count) row split.
+
+    Unlike `band_rays` (uniform bands, one stacked array for lax.scan),
+    variable bands have per-band shapes — returns a TUPLE of
+    (count*nx, RAY_ROWS, R) arrays, consumed by the unrolled bound
+    renderer (banded._render_banded_bound, tuple form)."""
+    rays = tile_rays(camera, cfg, aabb)                 # (ny*nx, 24, R)
+    nx = camera.width // cfg.tile_size
+    return tuple(rays[off * nx:(off + count) * nx] for off, count in specs)
+
+
 def unband_image(bands: jnp.ndarray, width: int, height: int, ts: int,
                  mode: str = "stride"):
     """(stride, local_H, W, C) band images -> (H, W, C).

@@ -61,6 +61,11 @@ class TrainConfig:
     #: once; an unsorted model still trains correctly, the windows just
     #: degrade to full-table width
     span_bands: bool = False
+    #: PAIR-BALANCED span bands: band row counts sit at the survivor-pair
+    #: quantiles and each band compiles at its own capacities (unrolled,
+    #: render/banded._render_bound_unrolled) — removes span banding's
+    #: load-balance penalty (SCALE_r05.md).  Requires span_bands.
+    balance_bands: bool = False
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -139,7 +144,8 @@ class Trainer:
             self._banded = BandedRenderer(
                 width, height, n_bands, cfg,
                 capacity=None if capacity == (0, 0) else capacity,
-                impl=impl, remat=tc.banded_remat, span=tc.span_bands)
+                impl=impl, remat=tc.banded_remat, span=tc.span_bands,
+                balance=tc.balance_bands)
             self._bind_age = None
             self._bind_key = None
             self.last_overflow = None

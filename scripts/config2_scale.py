@@ -9,6 +9,7 @@ monolithic acceleration structures stop scaling (SplitBLAS.cpp:678-752).
 Usage: python scripts/config2_scale.py [n_gauss] [n_bands] [W H]
 """
 import json
+import math
 import os
 import sys
 import time
@@ -31,6 +32,14 @@ K = int(os.environ.get("GVRT_CHAIN", 4))
 #: -> per-band live-id windows; GVRT_SPAN=0 reverts to round-robin banding
 SPAN = bool(int(os.environ.get("GVRT_SPAN", "1")))
 MODE = "contig" if SPAN else "stride"
+#: pair-balanced variable bands (round-5): rows at the survivor-pair
+#: quantiles, per-band capacities, unrolled band loop — applies to the
+#: BOUND + Trainer sections (the headline numbers); the unbound probe
+#: stays uniform for continuity with earlier rounds
+BAL = SPAN and bool(int(os.environ.get("GVRT_BALANCE", "0")))
+#: skip the unbound probe/train_k/fwd_k (several minutes of compiles) for
+#: quick bound-path A/B runs
+SKIP_UNBOUND = bool(int(os.environ.get("GVRT_SKIP_UNBOUND", "0")))
 
 cfg = g3.DEFAULT_CONFIG
 BANDS = resolve_bands(H, BANDS, cfg)
@@ -83,12 +92,15 @@ def probe(m):
             jnp.linalg.norm(grads.means))
 
 
-t0 = time.time()
-val, hits, ovf, gnorm = map(float, probe(model))
-print(f"compile+first fwd+bwd: {time.time()-t0:.1f}s  loss {val:.4f} "
-      f"mean hits/ray {hits:.2f}  overflow {ovf:.0f}  |g_means| {gnorm:.2e}",
-      flush=True)
-assert np.isfinite(val) and gnorm > 0
+hits, ovf = -1.0, 0.0
+best = best_f = float("nan")
+if not SKIP_UNBOUND:
+    t0 = time.time()
+    val, hits, ovf, gnorm = map(float, probe(model))
+    print(f"compile+first fwd+bwd: {time.time()-t0:.1f}s  loss {val:.4f} "
+          f"mean hits/ray {hits:.2f}  overflow {ovf:.0f}  "
+          f"|g_means| {gnorm:.2e}", flush=True)
+    assert np.isfinite(val) and gnorm > 0
 dev = jax.local_devices()[0]
 stats = getattr(dev, "memory_stats", lambda: None)()
 if stats:
@@ -106,14 +118,15 @@ def train_k(m):
     return jax.lax.fori_loop(0, K, body, (m, 0.0))
 
 
-sync(train_k(model))
-best = 1e30
-for _ in range(2):
-    t0 = time.time()
+if not SKIP_UNBOUND:
     sync(train_k(model))
-    best = min(best, (time.time() - t0) / K)
-print(f"fwd+bwd: {best*1e3:.1f} ms/frame  "
-      f"({W*H/best/1e6:.1f} Mrays/s)", flush=True)
+    best = 1e30
+    for _ in range(2):
+        t0 = time.time()
+        sync(train_k(model))
+        best = min(best, (time.time() - t0) / K)
+    print(f"fwd+bwd: {best*1e3:.1f} ms/frame  "
+          f"({W*H/best/1e6:.1f} Mrays/s)", flush=True)
 
 import dataclasses
 
@@ -128,14 +141,15 @@ def fwd_k(m):
     return jax.lax.fori_loop(0, K, body, (m, 0.0))
 
 
-sync(fwd_k(model))
-best_f = 1e30
-for _ in range(2):
-    t0 = time.time()
+if not SKIP_UNBOUND:
     sync(fwd_k(model))
-    best_f = min(best_f, (time.time() - t0) / K)
-print(f"fwd-only: {best_f*1e3:.1f} ms/frame  "
-      f"({W*H/best_f/1e6:.1f} Mrays/s)", flush=True)
+    best_f = 1e30
+    for _ in range(2):
+        t0 = time.time()
+        sync(fwd_k(model))
+        best_f = min(best_f, (time.time() - t0) / K)
+    print(f"fwd-only: {best_f*1e3:.1f} ms/frame  "
+          f"({W*H/best_f/1e6:.1f} Mrays/s)", flush=True)
 
 # ---- topology-held protocol (round-4): bind per-band topologies once,
 # render/train against them (the reference's AS-build-once shape; refresh
@@ -145,13 +159,20 @@ from gvrt_tpu.render.banded import BandedRenderer, _render_banded_bound
 # best measured round-4 config (SCALE_r04b.md): alignment-free compact
 # reduce + the "gather" checkpoint policy (saves each band's gathered
 # parameter rows, rematerializes only the kernel forward)
-r = BandedRenderer(W, H, BANDS, cfg, capacity=(cap, cap_pad),
-                   remat="gather", span=SPAN)
-r.capacity_live, r.capacity_reduce = cap_live, cap_r
-r.capacity_range = cap_range
+r = BandedRenderer(W, H, BANDS, cfg,
+                   capacity=None if BAL else (cap, cap_pad),
+                   remat="gather", span=SPAN, balance=BAL)
+if BAL:
+    t0 = time.time()
+    r.plan(model, cam)
+    print(f"balanced plan: {time.time()-t0:.1f}s  row split {r.band_specs} "
+          f"per-band caps {r.band_caps}", flush=True)
+else:
+    r.capacity_live, r.capacity_reduce = cap_live, cap_r
+    r.capacity_range = cap_range
 t0 = time.time()
 topos = r.bind(model, cam)
-sync(topos.chunk_tile)
+sync(topos[0].chunk_tile if BAL else topos.chunk_tile)
 bind_s = time.time() - t0
 print(f"bind (all {BANDS} bands' topologies): {bind_s:.1f}s", flush=True)
 rays_bands = r._bound[1]
@@ -220,11 +241,14 @@ from gvrt_tpu.train import TrainConfig, Trainer
 
 tc = TrainConfig(total_steps=10, refresh_every=10,
                  optimizer="adafactor", banded_remat="gather",
-                 span_bands=SPAN)
-trainer = Trainer(W, H, cfg, tc, capacity=(cap, cap_pad), n_bands=BANDS)
-trainer._banded.capacity_live = cap_live
-trainer._banded.capacity_reduce = cap_r
-trainer._banded.capacity_range = cap_range
+                 span_bands=SPAN, balance_bands=BAL)
+trainer = Trainer(W, H, cfg, tc,
+                  capacity=(0, 0) if BAL else (cap, cap_pad),
+                  n_bands=BANDS)
+if not BAL:
+    trainer._banded.capacity_live = cap_live
+    trainer._banded.capacity_reduce = cap_r
+    trainer._banded.capacity_range = cap_range
 state = trainer.init(model)
 t0 = time.time()
 state, tloss = trainer.step(state, cam, target)
@@ -240,12 +264,15 @@ assert np.isfinite(tloss2)
 
 print(json.dumps({
     "config": 2, "n_gauss": N, "bands": BANDS, "res": [W, H],
-    "span": SPAN, "cap_range": cap_range,
+    "span": SPAN, "balance": BAL, "cap_range": cap_range,
+    "band_specs": list(r.band_specs) if BAL else None,
+    "band_caps": list(r.band_caps) if BAL else None,
     "band_capacity": [cap, cap_pad],
-    "fwd_bwd_ms": best * 1e3, "fwd_ms": best_f * 1e3,
+    "fwd_bwd_ms": None if math.isnan(best) else best * 1e3,
+    "fwd_ms": None if math.isnan(best_f) else best_f * 1e3,
     "fwd_bwd_bound_ms": best_tb * 1e3, "fwd_bound_ms": best_fb * 1e3,
     "bind_ms": bind_s * 1e3,
-    "rays_per_s_fwd_bwd": W * H / best,
+    "rays_per_s_fwd_bwd": None if math.isnan(best) else W * H / best,
     "rays_per_s_fwd_bwd_bound": W * H / best_tb,
     "mean_hits": hits, "overflow": ovf,
     "trainer_banded_loss": tloss2,

@@ -101,6 +101,19 @@ def test_cli_train_banded(scene_ply, tmp_path):
     assert os.path.exists(out_ply)
 
 
+def test_cli_train_balanced(scene_ply, tmp_path):
+    """--balance-bands: pair-balanced span bands through the real CLI
+    (variable row counts, per-band capacities, unrolled bound renderer),
+    plus the scene-prep sort and the config[2]-scale optimizer/remat
+    choices as flags."""
+    out_ply = str(tmp_path / "tuned_balanced.ply")
+    main(["train", "--ply", scene_ply, "--width", "32", "--height", "32",
+          "--impl", "scan", "--steps", "3", "--frames", "2", "--bands", "2",
+          "--balance-bands", "--sort-scene", "--optimizer", "adafactor",
+          "--banded-remat", "gather", "--out", out_ply])
+    assert os.path.exists(out_ply)
+
+
 def test_cli_module_invocation(scene_ply):
     """`python -m 3dgvrt_lightfield_tpu` must work despite the digit name."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
