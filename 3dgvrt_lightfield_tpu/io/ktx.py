@@ -1,14 +1,16 @@
-"""KTX texture container I/O (v1 and uncompressed v2).
+"""KTX texture container I/O (v1 and v2, incl. Zstd/ZLIB supercompression).
 
 The reference loads its environment cubemaps from `.ktx` files through the
 vendored libktx (base/VulkanTexture.cpp `loadCubemap`, called at
 VulkanRTBase.cpp:3656).  This is a from-scratch reader for the two container
 revisions covering the formats the renderer consumes (8-bit UNORM/SRGB and
-16/32-bit float, RGB/RGBA), plus a KTX1 writer so cubemaps can be produced
-and round-tripped without external tooling.  Transcoded/supercompressed
-payloads (BasisU, Zstd — libktx's main bulk) are out of scope: the TPU
+16/32-bit float, RGB/RGBA), plus KTX1/KTX2 writers so cubemaps can be
+produced and round-tripped without external tooling.  KTX2 supercompression
+schemes 2 (Zstandard) and 3 (ZLIB) are decompressed on load — the per-level
+byte-stream schemes libktx handles in ktxTexture2_LoadImageData; BasisLZ
+(scheme 1) is a GPU-block-format transcoder and stays out of scope: the TPU
 pipeline samples raw float faces (hybrid/shade.py `sample_env_cube`), so
-anything compressed should be converted offline once.
+BasisU assets should be converted offline once.
 
 Layout notes (Khronos KTX spec v1 / v2):
   * v1: 12-byte magic, 13 uint32 header words, key/value blob, then per mip
@@ -122,14 +124,35 @@ def _read_ktx1(buf: bytes):
     return _to_float(img, gl_internal in _SRGB_INTERNAL)
 
 
+def _decompress_level(scheme: int, data: bytes, uncomp_len: int) -> bytes:
+    """Undo KTX2 per-level supercompression (spec section 3.12.3)."""
+    if scheme == 2:  # Zstandard
+        try:
+            import zstandard
+        except ImportError as e:  # environment-gated, like native/ply
+            raise ValueError(
+                "Zstd-supercompressed KTX2 needs the `zstandard` module; "
+                "convert offline (ktx2ktx2/toktx --zcmp 0)") from e
+        out = zstandard.ZstdDecompressor().decompress(
+            data, max_output_size=uncomp_len)
+    elif scheme == 3:  # ZLIB
+        import zlib
+        out = zlib.decompress(data)
+    else:
+        raise ValueError(
+            f"supercompressed KTX2 (scheme {scheme}) unsupported — only "
+            "None/Zstd/ZLIB payloads; BasisLZ must be transcoded offline")
+    if len(out) != uncomp_len:
+        raise ValueError(f"KTX2 level decompressed to {len(out)} bytes, "
+                         f"index says {uncomp_len}")
+    return out
+
+
 def _read_ktx2(buf: bytes):
     header = struct.unpack_from("<IIIIIIII", buf, 12)
     (vk_format, _type_size, width, height, depth, n_layers, n_faces,
      n_mips) = header
     (scheme,) = struct.unpack_from("<I", buf, 44)
-    if scheme != 0:
-        raise ValueError(f"supercompressed KTX2 (scheme {scheme}) "
-                         "unsupported; convert offline")
     if depth > 1:
         raise ValueError("3D KTX textures unsupported")
     if vk_format not in _VK_FORMATS:
@@ -141,15 +164,20 @@ def _read_ktx2(buf: bytes):
     n_layers = max(n_layers, 1)
     n_faces = max(n_faces, 1)
     # level index: 3x uint64 per level, after the 80-byte header block
-    lvl_off, lvl_len, _uncomp = struct.unpack_from("<QQQ", buf, 80)
+    lvl_off, lvl_len, uncomp = struct.unpack_from("<QQQ", buf, 80)
     face_bytes = width * height * ch * dtype.itemsize
     need = face_bytes * n_layers * n_faces
+    if scheme != 0:
+        level = _decompress_level(scheme, buf[lvl_off:lvl_off + lvl_len],
+                                  uncomp)
+        lvl_len, off = len(level), 0
+    else:
+        level, off = buf, lvl_off
     if lvl_len < need:
         raise ValueError(f"KTX2 level 0 too short ({lvl_len} < {need})")
     faces = []
-    off = lvl_off
     for _ in range(n_layers * n_faces):
-        arr = np.frombuffer(buf, dtype, width * height * ch, off)
+        arr = np.frombuffer(level, dtype, width * height * ch, off)
         faces.append(arr.reshape(height, width, ch))
         off += face_bytes
     img = np.stack(faces) if len(faces) > 1 else faces[0]
@@ -224,3 +252,59 @@ def save_ktx1(path: str, img: np.ndarray, srgb: bool = False,
                 raw = padded
             f.write(raw.tobytes())
             # face_bytes is already 4-byte aligned via the row pitch
+
+
+def save_ktx2(path: str, img: np.ndarray, srgb: bool = False,
+              cubemap: Optional[bool] = None,
+              supercompression: Optional[str] = None,
+              level: int = 9) -> None:
+    """Write a KTX v2 file (mip 0 only), optionally supercompressed.
+
+    img: (H, W, C) or (6, S, S, C) with C in {3, 4}; uint8 stays uint8
+    (sRGB vkFormat when `srgb`), anything else is stored as float32.
+    `supercompression`: None, "zstd" (scheme 2) or "zlib" (scheme 3) —
+    the byte-stream schemes `load_ktx` undoes; `level` is the codec level.
+    Targets `load_ktx` round-trips (no DFD/KVD blocks are emitted; libktx
+    itself requires a DFD, so use `save_ktx1` for reference-tool interop).
+    """
+    img = np.asarray(img)
+    if cubemap is None:
+        cubemap = img.ndim == 4
+    faces = img if cubemap else img[None]
+    if cubemap and faces.shape[0] != 6:
+        raise ValueError("cubemap must have 6 faces [+X-X+Y-Y+Z-Z]")
+    h, w, ch = faces.shape[1:]
+    if ch not in (3, 4):
+        raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
+    if faces.dtype == np.uint8:
+        vk_format = ({3: 29, 4: 43} if srgb else {3: 23, 4: 37})[ch]
+        dtype = np.dtype(np.uint8)
+    else:
+        vk_format = {3: 106, 4: 109}[ch]  # R32G32B32(A32)_SFLOAT
+        dtype = np.dtype(np.float32)
+    payload = np.ascontiguousarray(faces, dtype).tobytes()
+    uncomp = len(payload)
+    if supercompression is None:
+        scheme, data = 0, payload
+    elif supercompression == "zstd":
+        import zstandard
+        scheme = 2
+        data = zstandard.ZstdCompressor(level=level).compress(payload)
+    elif supercompression == "zlib":
+        import zlib
+        scheme = 3
+        data = zlib.compress(payload, level)
+    else:
+        raise ValueError(f"unknown supercompression {supercompression!r}")
+
+    lvl_off = 12 + 68 + 24  # magic + header/index32 block + 1-level index
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(_KTX2_MAGIC)
+        f.write(struct.pack(
+            "<9I", vk_format, dtype.itemsize, w, h, 0, 0,
+            6 if cubemap else 1, 1, scheme))
+        f.write(struct.pack("<4I", 0, 0, 0, 0))  # dfd/kvd offset+length
+        f.write(struct.pack("<QQ", 0, 0))        # sgd offset+length
+        f.write(struct.pack("<QQQ", lvl_off, len(data), uncomp))
+        f.write(data)
