@@ -194,8 +194,26 @@ def _render_banded_bound(model, topos, rays_bands, width, height, cfg, impl,
         # two ~11.6 ns/row gathers) and its own row count (~equal pairs per
         # band, binning.plan_row_split).  n_bands is small (1-4 at 5M), so
         # the unroll costs one extra kernel instantiation per band.
-        return _render_bound_unrolled(model, topos, rays_bands, width,
-                                      height, cfg, impl, remat)
+        #
+        # Degenerate-split fast path: on y-symmetric scenes the quantile
+        # split lands on EQUAL rows and capacities (session G measured
+        # exactly this at 5M: split (0,34)/(34,34), identical caps).  Stack
+        # and take the scan path — the unrolled variant's duplicated band
+        # bodies make XLA materialize the 64-column rows64 build as padded
+        # (N+1, 1) temps (128x expansion each; a 151 GB compile-time HBM
+        # request at 5M, artifacts/session_g), which the single-body scan
+        # never does.  Unequal bands keep the unroll (its capacity win only
+        # exists when the split is unequal, i.e. exactly when it compiles
+        # as intended at <= ~2M-per-band shapes).
+        shapes = [jax.tree.map(jnp.shape, t) for t in topos]
+        if (all(s == shapes[0] for s in shapes[1:])
+                and all(r.shape == rays_bands[0].shape
+                        for r in rays_bands[1:])):
+            topos = jax.tree.map(lambda *xs: jnp.stack(xs), *topos)
+            rays_bands = jnp.stack(rays_bands)
+        else:
+            return _render_bound_unrolled(model, topos, rays_bands, width,
+                                          height, cfg, impl, remat)
     n_bands, _, _, _ = rays_bands.shape
     lh = height // n_bands
     # raw model in, hand-derived 1D-column VJP for the parameter table
