@@ -628,9 +628,15 @@ def _bucket_capacity(v: int, g: int, ratio: float = 1.25) -> int:
     x`ratio` steps means a re-plan after modest scene/camera drift lands on a
     shape that is ALREADY compiled (and persistently cached) instead of
     triggering a new one; worst case it over-allocates by `ratio` - 1, which
-    only adds dead trailing chunks (DMA-skipped) and sort width.
+    only adds dead trailing chunks (DMA-skipped) and sort width — but every
+    over-allocated row in the two hot gathers still costs its ~11.6-13 ns
+    (PROFILE sections 7d/8), up to `ratio`-1 of pure gather toll.  FROZEN
+    scene+camera workloads (benchmarks, serving a trained asset) should
+    plan with ratio <= 1.0: exact chunk-aligned capacities, no grid.
     """
     v = max(int(v), g)
+    if ratio <= 1.0:  # exact: chunk-aligned only (frozen-workload plans)
+        return -(-v // g) * g
     k = math.ceil(math.log(v / g) / math.log(ratio) - 1e-9)
     return int(math.ceil(g * ratio ** k / g)) * g
 
@@ -689,7 +695,7 @@ def _host_expand_cull(tab: FrameCullTable, proj, width, height,
 
 def plan_capacity_from_table(tab: FrameCullTable, proj, width, height,
                              cfg: RenderConfig, slack: float = 1.3,
-                             band=(0, 1)):
+                             band=(0, 1), bucket_ratio: float = 1.25):
     """Host-NumPy capacity plan from a (host) frame table — see plan_capacity.
 
     Callers planning many bands of one frame (plan_capacity_banded) compute
@@ -707,12 +713,14 @@ def plan_capacity_from_table(tab: FrameCullTable, proj, width, height,
     capacity_padded = int(min(padded, capacity + int(nx) * int(ny) * g + g))
     # snap to the compile-shape grid (see _bucket_capacity): re-plans after
     # drift/overflow reuse already-compiled pipeline shapes
-    return _bucket_capacity(capacity, g), _bucket_capacity(capacity_padded, g)
+    return (_bucket_capacity(capacity, g, bucket_ratio),
+            _bucket_capacity(capacity_padded, g, bucket_ratio))
 
 
 def plan_reduce_capacity_from_table(tab: FrameCullTable, proj, width, height,
                                     cfg: RenderConfig, n_rows: int,
-                                    slack: float = 1.05, band=(0, 1)) -> int:
+                                    slack: float = 1.05, band=(0, 1),
+                                    bucket_ratio: float = 1.1) -> int:
     """Host plan for the live-compacted grad-reduce layout (segreduce.py).
 
     Counts the post-cull SURVIVOR pairs (the same host replication of the
@@ -730,7 +738,7 @@ def plan_reduce_capacity_from_table(tab: FrameCullTable, proj, width, height,
     # measured to quantize the live-compaction win away entirely (round-4
     # stage profile: survivors 1.166M -> same 1.77M rows as no compaction)
     budget = _bucket_capacity(int(math.ceil(survivors * slack)),
-                              cfg.chunk_size, ratio=1.1)
+                              cfg.chunk_size, ratio=bucket_ratio)
     return plan_rows(budget, n_rows)
 
 

@@ -105,7 +105,7 @@ class TiledRenderer:
         self._bound = None  # (topology, rays) from bind()
 
     def plan(self, model: GaussianModel, cameras: Sequence,
-             slack: float = 1.3) -> tuple:
+             slack: float = 1.3, bucket_ratio: float = None) -> tuple:
         """Measure pair counts over representative cameras -> static capacity.
 
         `slack` multiplies the measured counts (headroom for camera/parameter
@@ -113,9 +113,15 @@ class TiledRenderer:
         scene+camera workloads (benchmarks, datasets planned over all their
         cameras) can run ~1.05: every pipeline stage's cost is proportional
         to the planned capacity, and 1.3 was measured as ~20% of the
-        round-3 frame time spent on slack slots."""
+        round-3 frame time spent on slack slots.  `bucket_ratio` overrides
+        the compile-shape grid (default 1.25x pipeline / 1.1x reduce rows);
+        FROZEN scene+camera workloads should pass 1.0 — exact chunk-aligned
+        capacities, since every grid-padded row still pays the ~11.6 ns/row
+        gather toll (up to 25% of both hot gathers for pure headroom)."""
         act = model.activate()
         cap = cap_pad = cap_r = 0
+        ratios = {} if bucket_ratio is None else \
+            {"bucket_ratio": bucket_ratio}
         for cam in cameras:
             w2c, proj = _camera_mats(cam)
             tab = jax.tree.map(np.asarray, frame_cull_table(
@@ -123,10 +129,10 @@ class TiledRenderer:
                 self.height, self.cfg))
             c, cp = plan_capacity_from_table(tab, proj, self.width,
                                              self.height, self.cfg,
-                                             slack=slack)
+                                             slack=slack, **ratios)
             cr = plan_reduce_capacity_from_table(
                 tab, proj, self.width, self.height, self.cfg,
-                act.means.shape[0] + 1, slack=max(slack, 1.05))
+                act.means.shape[0] + 1, slack=max(slack, 1.05), **ratios)
             cap, cap_pad, cap_r = max(cap, c), max(cap_pad, cp), max(cap_r, cr)
         self.capacity = (cap, cap_pad)
         self.capacity_reduce = cap_r

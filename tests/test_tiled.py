@@ -202,3 +202,32 @@ def test_bound_topology_replay_matches_render():
     d = np.abs(np.asarray(out_stale["rgb"]) - np.asarray(out_fresh["rgb"]))
     assert np.isfinite(np.asarray(out_stale["rgb"])).all()
     assert d.max() < 0.05, d.max()
+
+
+def test_exact_bucket_plan_matches_gridded():
+    """bucket_ratio=1.0 plans exact chunk-aligned capacities (<= the
+    1.25x/1.1x compile-shape grid) and renders identically — the frozen-
+    workload planning mode bench.py uses (every grid-padded row costs the
+    full ~11.6 ns gather toll, PROFILE sections 7d/8)."""
+    from gvrt_tpu.render.binning import _bucket_capacity
+    from gvrt_tpu.render.tiled import TiledRenderer
+    # exact mode is chunk-alignment only
+    assert _bucket_capacity(1000, 128, 1.0) == 1024
+    assert _bucket_capacity(1024, 128, 1.0) == 1024
+    assert _bucket_capacity(1, 128, 0.0) == 128
+    assert _bucket_capacity(1000, 128, 1.25) >= 1024
+
+    model = _scene(96)
+    cam = _camera(32)
+    r_grid = TiledRenderer(32, 32, CFG, impl=IMPL_PL)
+    r_grid.plan(model, [cam], slack=1.05)
+    r_exact = TiledRenderer(32, 32, CFG, impl=IMPL_PL)
+    r_exact.plan(model, [cam], slack=1.05, bucket_ratio=1.0)
+    assert r_exact.capacity[0] <= r_grid.capacity[0]
+    assert r_exact.capacity[1] <= r_grid.capacity[1]
+    assert r_exact.capacity_reduce <= r_grid.capacity_reduce
+    out_g = r_grid.render(model, cam)
+    out_e = r_exact.render(model, cam)
+    assert int(out_e["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(out_e["rgb"]),
+                               np.asarray(out_g["rgb"]), atol=1e-5)
